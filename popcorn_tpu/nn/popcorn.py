@@ -1,0 +1,251 @@
+"""The POPCORN population-mapping model, TPU-native.
+
+Re-implements the behaviour of the reference's POPCORN module
+(model/popcorn.py:13-377) as pure functions:
+
+  popdensemap = scale * building_score        (occupancy model, :167-178)
+  popcount    = sum over the admin region     (:183-190)
+
+with a frozen dual-stream UNet feature extractor, a second frozen
+dual-stream UNet as on-the-fly building extractor (:279-322), and a
+trainable 4-layer 1x1-conv head (16->64->64->64->2, :78-88).
+
+TPU-first deviations (behaviour-preserving):
+  * NHWC layout everywhere; channels reordered once for the DDA streams.
+  * The reference's *sparse head* (popcorn.py:195-228) is a GPU-memory
+    trick: it evaluates the head only at masked pixels via data-dependent
+    fancy indexing, which is hostile to XLA's static shapes. We evaluate
+    the dense head (pure MXU matmuls, optionally a fused Pallas kernel)
+    and apply the mask to the *statistics*: popcount and the scale
+    regularisation are mathematically identical because every pixel that
+    can contribute to popcount (building_score > 0 inside the admin
+    region) is in the reference's sparsity mask by construction
+    (popcorn.py:361-372), and masked pixels outside it contribute zero.
+    Gradients are therefore identical too.
+  * Frozen BatchNorm is folded to per-channel scale/shift constants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelConfig
+from .ops import add_padding, conv1x1, revert_padding
+from .unet import building_logits, dual_stream_features
+
+Tree = Dict[str, Any]
+
+HEAD_HIDDEN = 64
+HEAD_LAYERS = ("l1", "l2", "l3", "l4")
+
+
+def reorder_to_dda(
+    x: jnp.ndarray, *, s1: bool, s2: bool, nir: bool
+) -> jnp.ndarray:
+    """Reorder the concatenated input into DDA's 6-channel order.
+
+    Our assembled input is [S2: R,G,B(,NIR)][S1: VV,VH] (see data.normalize);
+    DDA expects [VV, VH, B02(B), B03(G), B04(R), B08(NIR)]. Mirrors the
+    channel shuffle + zero-fill of model/popcorn.py:129-145 (the
+    ``torch.flip`` of the first three channels converts stored RGB to the
+    BGR order the DDA checkpoint was trained on). Missing modalities are
+    zero-filled. When NIR is absent with S2 present the reference would
+    mis-index (its canonical runs always pass -NIR); we zero-fill B08,
+    which is the evident intent.
+    """
+    b, h, w, _ = x.shape
+    zeros = lambda c: jnp.zeros((b, h, w, c), dtype=x.dtype)
+    if s2:
+        n_s2 = 4 if nir else 3
+        bgr = x[..., 2::-1]  # R,G,B -> B,G,R
+        nir_c = x[..., 3:4] if nir else zeros(1)
+        s1_c = x[..., n_s2 : n_s2 + 2] if s1 else zeros(2)
+        return jnp.concatenate([s1_c, bgr, nir_c], axis=-1)
+    if s1:
+        return jnp.concatenate([x[..., :2], zeros(4)], axis=-1)
+    raise ValueError("at least one of S1/S2 must be enabled")
+
+
+def head_apply(
+    p: Tree, feats: jnp.ndarray, dtype=None, fused: bool = False
+) -> jnp.ndarray:
+    """The 4x (1x1 conv) head with ReLUs (model/popcorn.py:80-85).
+
+    Dense evaluation: four channel-matmuls on the MXU. With fused=True a
+    Pallas kernel evaluates all four layers in VMEM without materialising
+    the 64-channel intermediates in HBM (see nn.pallas_head).
+    """
+    if fused:
+        from .pallas_head import fused_head
+
+        return fused_head(p, feats)
+    x = feats
+    for i, name in enumerate(HEAD_LAYERS):
+        x = conv1x1(x, p[name], dtype)
+        if i < len(HEAD_LAYERS) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def create_building_score(
+    builder: Tree,
+    x_input: jnp.ndarray,
+    *,
+    s1: bool,
+    s2: bool,
+    nir: bool,
+    dtype=None,
+) -> jnp.ndarray:
+    """On-the-fly built-up probability (model/popcorn.py:279-322).
+
+    Reflect-pads 14px, runs the frozen building-extractor UNet, sigmoid,
+    unpads. Always under stop_gradient (reference runs it in no_grad).
+    """
+    xp, pad = add_padding(x_input, force=True)
+    x6 = reorder_to_dda(xp, s1=s1, s2=s2, nir=nir)
+    logits = building_logits(
+        builder["params"], builder["bn"], x6, s1=s1, s2=s2, dtype=dtype
+    )
+    score = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return lax.stop_gradient(revert_padding(score, pad))
+
+
+def sparsity_mask(
+    key: jax.Array,
+    building_counts: jnp.ndarray,
+    admin_mask: jnp.ndarray,
+    census_idx: jnp.ndarray,
+    *,
+    occupancy: bool,
+) -> jnp.ndarray:
+    """The training sparsity mask (model/popcorn.py:361-377).
+
+    mask = (buildings > 0 [if occupancy]) AND (admin == census_idx),
+    plus a random 60x60 row/column lattice (one draw shared across the
+    batch, as in the reference) clipped to the admin region, falling back
+    to the full admin region if the whole batch mask is empty.
+    """
+    admin_sel = admin_mask == census_idx[:, None, None]
+    if occupancy:
+        m = (building_counts[..., 0] > 0) & admin_sel
+    else:
+        m = admin_sel
+    _, h, w = m.shape
+    kx, ky = jax.random.split(key)
+    nx, ny = min(60, h), min(60, w)
+    xi = jax.random.choice(kx, h, shape=(nx,), replace=False)
+    yi = jax.random.choice(ky, w, shape=(ny,), replace=False)
+    rows = jnp.zeros((h,), bool).at[xi].set(True)
+    cols = jnp.zeros((w,), bool).at[yi].set(True)
+    lattice = rows[:, None] & cols[None, :]
+    m = (m | lattice[None]) & admin_sel
+    empty = ~jnp.any(m)
+    return jnp.where(empty, admin_sel, m)
+
+
+def popcorn_forward(
+    params: Tree,
+    consts: Tree,
+    inputs: Dict[str, jnp.ndarray],
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    padding: bool = True,
+    encoder_no_grad: bool = False,
+    unet_no_grad: bool = False,
+    sparse: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full POPCORN forward pass (model/popcorn.py:100-193).
+
+    params: {'unet': dual-stream tree, 'head': {'l1'..'l4': {w,b}}}
+    consts: {'unet_bn': BN constants, 'builder': {'params','bn'} frozen
+             building extractor}
+    inputs: {'input': (B,H,W,C) normalized modality concat,
+             optional 'building_counts': (B,H,W,1),
+             optional 'admin_mask': (B,H,W), 'census_idx': (B,)}
+
+    Returns {'popcount': (B,), 'popdensemap': (B,H,W),
+             'scale': (B,H,W) or None,
+             'scale_abs_mean': () masked mean |scale| for regularisation}.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    x = inputs["input"]
+
+    # Building score: computed on the fly when absent or sentinel_buildings
+    # (model/popcorn.py:112-115).
+    if "building_counts" not in inputs or cfg.sentinel_buildings:
+        building_counts = create_building_score(
+            consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir, dtype=dtype
+        )
+    else:
+        building_counts = inputs["building_counts"]
+
+    mask = None
+    if sparse:
+        if key is None:
+            raise ValueError("sparse=True requires a PRNG key")
+        mask = sparsity_mask(
+            key,
+            building_counts,
+            inputs["admin_mask"],
+            inputs["census_idx"],
+            occupancy=cfg.occupancy_model,
+        )
+
+    # Main feature extractor.
+    xp, pad = add_padding(x, force=padding)
+    x6 = reorder_to_dda(xp, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir)
+    feats = dual_stream_features(
+        params["unet"],
+        consts["unet_bn"],
+        x6,
+        s1=cfg.s1,
+        s2=cfg.s2,
+        encoder_stop_grad=encoder_no_grad,
+        dtype=dtype,
+        remat=cfg.remat_unet and train,
+    )
+    if unet_no_grad:
+        feats = lax.stop_gradient(feats)
+    feats = revert_padding(feats, pad)
+
+    out = head_apply(params["head"], feats, dtype, fused=cfg.fused_head)[..., 0]
+    out = out.astype(jnp.float32)
+
+    if cfg.occupancy_model:
+        scale = jax.nn.relu(out)
+        popdensemap = scale * building_counts[..., 0].astype(jnp.float32)
+    else:
+        scale = None
+        popdensemap = jax.nn.relu(out)
+
+    if "admin_mask" in inputs:
+        sel = inputs["admin_mask"] == inputs["census_idx"][:, None, None]
+        popcount = jnp.sum(popdensemap * sel, axis=(1, 2))
+    else:
+        popcount = jnp.sum(popdensemap, axis=(1, 2))
+
+    result: Dict[str, Any] = {
+        "popcount": popcount,
+        "popdensemap": popdensemap,
+        "scale": scale,
+    }
+    if scale is not None:
+        if mask is not None:
+            # |scale| mean over the sparsity mask — identical to the
+            # reference's mean over aux["scale"] = scale[sparsity_mask].
+            msum = jnp.sum(jnp.abs(scale) * mask)
+            result["scale_abs_mean"] = msum / jnp.maximum(jnp.sum(mask), 1)
+        else:
+            result["scale_abs_mean"] = jnp.mean(jnp.abs(scale))
+    else:
+        result["scale_abs_mean"] = None
+    if mask is not None:
+        result["sparsity_mask"] = mask
+    result["building_counts"] = building_counts
+    return result
