@@ -1,0 +1,276 @@
+"""Windowed GeoTIFF I/O over the native C++ library.
+
+The TPU framework's host data plane: windowed reads of country-scale
+seasonal mosaics and GeoTIFF prediction writes, replacing the reference's
+GDAL/rasterio dependency (data/PopulationDataset.py:554-621, 855-880) with
+the first-party native library popcorn_tpu/io/native/geotiff.cpp.
+
+The native library is compiled on first use (g++ is a baked-in dependency)
+and cached next to its source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "geotiff.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libpopgeotiff.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+# dtype enum shared with the C++ side
+DTYPE_TO_NP = {
+    1: np.uint8,
+    2: np.int8,
+    3: np.uint16,
+    4: np.int16,
+    5: np.uint32,
+    6: np.int32,
+    7: np.float32,
+    8: np.float64,
+}
+NP_TO_DTYPE = {
+    np.dtype(np.uint8): 1,
+    np.dtype(np.uint16): 3,
+    np.dtype(np.int16): 4,
+    np.dtype(np.int32): 6,
+    np.dtype(np.float32): 7,
+    np.dtype(np.float64): 8,
+}
+
+
+def _build_lib() -> str:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SRC,
+        "-o",
+        _LIB,
+        "-lz",
+        "-lpthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _get_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(_build_lib())
+        lib.gt_open.restype = ctypes.c_void_p
+        lib.gt_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.gt_close.argtypes = [ctypes.c_void_p]
+        lib.gt_width.restype = ctypes.c_longlong
+        lib.gt_width.argtypes = [ctypes.c_void_p]
+        lib.gt_height.restype = ctypes.c_longlong
+        lib.gt_height.argtypes = [ctypes.c_void_p]
+        lib.gt_bands.restype = ctypes.c_int
+        lib.gt_bands.argtypes = [ctypes.c_void_p]
+        lib.gt_dtype.restype = ctypes.c_int
+        lib.gt_dtype.argtypes = [ctypes.c_void_p]
+        lib.gt_nodata.restype = ctypes.c_int
+        lib.gt_nodata.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+        lib.gt_transform.restype = ctypes.c_int
+        lib.gt_transform.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+        lib.gt_read_window.restype = ctypes.c_int
+        lib.gt_read_window.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.gtw_create.restype = ctypes.c_void_p
+        lib.gtw_create.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.gtw_copy_geo.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.gtw_set_transform.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+        ]
+        lib.gtw_set_nodata.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.gtw_set_zlevel.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.gtw_write.restype = ctypes.c_int
+        lib.gtw_write.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.gtw_finish.restype = ctypes.c_int
+        lib.gtw_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.gtw_abort.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+Window = Tuple[Tuple[int, int], Tuple[int, int]]  # ((row0, row1), (col0, col1))
+
+
+class GeoTIFF:
+    """Read-only handle to a (Big)TIFF/GeoTIFF raster.
+
+    API mirrors the subset of rasterio the reference uses: ``shape``,
+    ``count``, ``read(bands, window=((r0,r1),(c0,c1)))`` returning
+    float32 (bands, h, w), band indices 1-based.
+    """
+
+    def __init__(self, path: str):
+        self._lib = _get_lib()
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.gt_open(path.encode(), err, 256)
+        if not self._h:
+            raise IOError(f"GeoTIFF open failed for {path}: {err.value.decode()}")
+        self.path = path
+        self.height = int(self._lib.gt_height(self._h))
+        self.width = int(self._lib.gt_width(self._h))
+        self.count = int(self._lib.gt_bands(self._h))
+        self.dtype = DTYPE_TO_NP[self._lib.gt_dtype(self._h)]
+        nd = ctypes.c_double()
+        self.nodata: Optional[float] = (
+            nd.value if self._lib.gt_nodata(self._h, ctypes.byref(nd)) else None
+        )
+        tr = (ctypes.c_double * 6)()
+        self.transform: Optional[Tuple[float, ...]] = (
+            tuple(tr) if self._lib.gt_transform(self._h, tr) else None
+        )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    def read(
+        self,
+        bands: Optional[Sequence[int]] = None,
+        window: Optional[Window] = None,
+        squeeze: bool = False,
+    ) -> np.ndarray:
+        if self._h is None:
+            raise IOError("closed")
+        if bands is None:
+            bands = list(range(1, self.count + 1))
+        elif isinstance(bands, int):
+            bands = [bands]
+        if window is None:
+            window = ((0, self.height), (0, self.width))
+        (r0, r1), (c0, c1) = window
+        h, w = int(r1 - r0), int(c1 - c0)
+        if h <= 0 or w <= 0:
+            raise ValueError(f"empty window {window}")
+        out = np.empty((len(bands), h, w), np.float32)
+        barr = (ctypes.c_int * len(bands))(*bands)
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.gt_read_window(
+            self._h,
+            barr,
+            len(bands),
+            int(c0),
+            int(r0),
+            w,
+            h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            err,
+            256,
+        )
+        if rc != 0:
+            raise IOError(
+                f"read_window failed on {self.path} {window}: {err.value.decode()}"
+            )
+        return out[0] if (squeeze and len(bands) == 1) else out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.gt_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_geotiff(
+    path: str,
+    data: np.ndarray,
+    *,
+    template: Optional[str] = None,
+    transform: Optional[Tuple[float, float, float, float]] = None,
+    nodata: Optional[float] = None,
+    dtype: Optional[np.dtype] = None,
+    tile: int = 256,
+    zlevel: int = 1,
+) -> None:
+    """Write a (bands,h,w) or (h,w) array as a tiled deflate GeoTIFF.
+
+    Geo-referencing either copied from a ``template`` raster (the way the
+    reference writes predictions with the boundary raster's metadata,
+    PopulationDataset.py:144-147, 855-880) or given as a north-up
+    ``transform`` (origin_x, px_w, origin_y, px_h).
+    """
+    lib = _get_lib()
+    if data.ndim == 2:
+        data = data[None]
+    bands, h, w = data.shape
+    dt = NP_TO_DTYPE[np.dtype(dtype or np.float32)]
+    err = ctypes.create_string_buffer(256)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    hw = lib.gtw_create(path.encode(), w, h, bands, dt, tile, err, 256)
+    if not hw:
+        raise IOError(f"create failed for {path}: {err.value.decode()}")
+    try:
+        if template is not None:
+            with GeoTIFF(template) as src:
+                lib.gtw_copy_geo(hw, src._h)
+        elif transform is not None:
+            ox, pw, oy, ph = transform
+            lib.gtw_set_transform(hw, ox, pw, oy, ph)
+        if nodata is not None:
+            lib.gtw_set_nodata(hw, nodata)
+        lib.gtw_set_zlevel(hw, zlevel)
+        buf = np.ascontiguousarray(data, np.float32)
+        if lib.gtw_write(hw, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256):
+            raise IOError(f"write failed: {err.value.decode()}")
+        if lib.gtw_finish(hw, err, 256):
+            raise IOError(f"finish failed: {err.value.decode()}")
+        hw = None
+    finally:
+        if hw:
+            lib.gtw_abort(hw)
