@@ -1,0 +1,255 @@
+"""Host->device data feed: bucketing, batching, augmentation, prefetch.
+
+The reference trains on per-region variable-size bbox crops padded to the
+per-batch max (data/PopulationDataset.py:884-958, DataLoader workers at
+run_train.py:431). Under XLA that means a recompile per new shape, so the
+TPU feed instead pads every crop up to a small ladder of static bucket
+shapes (multiples of 64, so the UNet's pad-to-64 path is a no-op) and
+groups same-bucket items into batches. Masked semantics make the padding
+inert: images pad with 0 and the admin mask with -1 (never a census idx),
+exactly like the reference collate.
+
+Geometric augmentations (flips, k*90 rotations — shape-changing!) run here
+on the host per batch (one draw per batch, matching the reference's
+allsame=True GPU transforms); photometric S2 params are drawn per batch
+and applied on device inside the jitted step (data.normalize).
+
+A background prefetch thread overlaps raster IO with device compute
+(double buffering; SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..aug.augment import GeneralAugParams, apply_geometric, draw_general, draw_photometric
+from .dataset import PopulationDataset
+
+DEFAULT_LADDER = (256, 512, 1024, 1536, 2048, 3072, 4096)
+
+
+def bucket_dim(n: int, ladder: Sequence[int] = DEFAULT_LADDER) -> int:
+    for v in ladder:
+        if n <= v:
+            return v
+    return ((n + 1023) // 1024) * 1024
+
+
+def pad_item_to(
+    item: Dict, h: int, w: int
+) -> Dict:
+    """Pad one item's arrays to (h, w): images with 0, admin mask with -1
+    (reference collate, PopulationDataset.py:896-939)."""
+    out = dict(item)
+    for key in ("S2", "S1", "VIIRS"):
+        if key in item:
+            a = item[key]
+            out[key] = np.pad(
+                a, ((0, h - a.shape[0]), (0, w - a.shape[1]), (0, 0))
+            )
+    if "admin_mask" in item:
+        a = item["admin_mask"]
+        out["admin_mask"] = np.pad(
+            a,
+            ((0, h - a.shape[0]), (0, w - a.shape[1])),
+            constant_values=-1.0,
+        )
+    return out
+
+
+class WeaksupFeed:
+    """Batched, bucketed, augmented feed over one or more weaksup datasets
+    (the ConcatDataset + DataLoader + transform stack of run_train.py:423-431).
+    """
+
+    def __init__(
+        self,
+        datasets: Sequence[PopulationDataset],
+        *,
+        batch_size: int = 2,
+        bucket_ladder: Sequence[int] = DEFAULT_LADDER,
+        seed: int = 1600,
+        augment: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.datasets = list(datasets)
+        self.batch_size = batch_size
+        self.ladder = tuple(bucket_ladder)
+        self.seed = seed
+        self.augment = augment
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.index: List[Tuple[int, int]] = [
+            (d, i) for d, ds in enumerate(self.datasets) for i in range(len(ds))
+        ]
+
+    def __len__(self) -> int:
+        return len(self.index) // self.batch_size
+
+    def _make_batch(self, items: List[Dict], rng: np.random.Generator) -> Dict:
+        h = max(it["admin_mask"].shape[0] for it in items)
+        w = max(it["admin_mask"].shape[1] for it in items)
+        bh, bw = bucket_dim(h, self.ladder), bucket_dim(w, self.ladder)
+        items = [pad_item_to(it, bh, bw) for it in items]
+        batch: Dict = {}
+        for key in ("S2", "S1", "VIIRS"):
+            if key in items[0]:
+                batch[key] = np.stack([it[key] for it in items]).astype(np.float32)
+        batch["admin_mask"] = np.stack([it["admin_mask"] for it in items]).astype(
+            np.float32
+        )
+        batch["y"] = np.asarray([it["y"] for it in items], np.float32)
+        batch["census_idx"] = np.asarray(
+            [it["census_idx"] for it in items], np.float32
+        )
+        batch["season"] = np.asarray([it["season"] for it in items], np.int32)
+
+        if self.augment:
+            g = draw_general(rng)
+            for key in ("S2", "S1", "VIIRS"):
+                if key in batch:
+                    batch[key] = np.ascontiguousarray(
+                        apply_geometric(batch[key], g, hw_axes=(1, 2))
+                    )
+            batch["admin_mask"] = np.ascontiguousarray(
+                apply_geometric(batch["admin_mask"], g, hw_axes=(1, 2))
+            )
+            p = draw_photometric(rng)
+            batch["photometric"] = np.asarray(
+                [float(p.apply_brightness), p.beta, float(p.apply_gamma), p.gamma],
+                np.float32,
+            )
+        else:
+            batch["photometric"] = np.asarray([0.0, 1.0, 0.0, 1.0], np.float32)
+        return batch
+
+    def _epoch_batches(self, epoch: int) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + 1000 * epoch)
+        order = rng.permutation(len(self.index))
+        # group by bucket shape so batch members share a static shape
+        pending: Dict[Tuple[int, int], List[Dict]] = {}
+        for j in order:
+            d, i = self.index[j]
+            try:
+                item = self.datasets[d].get_admin_item(i, rng)
+            except ValueError:
+                continue  # unhealable sample ("No data here!"), skip
+            h, w = item["admin_mask"].shape
+            key = (bucket_dim(h, self.ladder), bucket_dim(w, self.ladder))
+            pending.setdefault(key, []).append(item)
+            if len(pending[key]) == self.batch_size:
+                yield self._make_batch(pending.pop(key), rng)
+        if not self.drop_last:
+            for items in pending.values():
+                if items:
+                    yield self._make_batch(items, rng)
+
+    def epoch(self, epoch: int) -> Iterator[Dict]:
+        """Iterate one epoch with background prefetch."""
+        if self.prefetch <= 0:
+            yield from self._epoch_batches(epoch)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._epoch_batches(epoch):
+                    q.put(b)
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is done:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
+
+class InferenceFeed:
+    """Batched feed over a test dataset's sliding-window patch grid, with
+    background prefetch (run_eval.py's DataLoader, batch of patches)."""
+
+    def __init__(
+        self,
+        dataset: PopulationDataset,
+        *,
+        batch_size: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        for s in range(0, n, self.batch_size):
+            idxs = list(range(s, min(n, s + self.batch_size)))
+            items = [self.dataset.get_test_item(i) for i in idxs]
+            npad = self.batch_size - len(items)
+            batch: Dict = {}
+            for key in ("S2", "S1"):
+                if key in items[0]:
+                    arr = np.stack([it[key] for it in items]).astype(np.float32)
+                    if npad:
+                        arr = np.concatenate([arr, np.repeat(arr[-1:], npad, 0)], 0)
+                    batch[key] = arr
+            batch["mask"] = np.stack(
+                [it["mask"] for it in items]
+                + [np.zeros_like(items[0]["mask"])] * npad
+            )
+            batch["img_coords"] = np.asarray(
+                [it["img_coords"] for it in items]
+                + [items[-1]["img_coords"]] * npad,
+                np.int64,
+            )
+            batch["valid"] = np.asarray([True] * len(items) + [False] * npad)
+            batch["season"] = np.asarray(
+                [it["season"] for it in items] + [items[-1]["season"]] * npad, np.int32
+            )
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is done:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,201 @@
+"""Data-layer tests: synthetic fixture, dataset, patch grid, mosaic
+fallback, census aggregation/adjustment, bucketed feed."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from popcorn_tpu.agg.census_agg import (
+    adjust_map_to_census,
+    convert_popmap_to_census,
+    detail_maps,
+)
+from popcorn_tpu.data.dataset import (
+    PopulationDataset,
+    patch_grid,
+    prepare_weaksup_census,
+    validity_mask,
+)
+from popcorn_tpu.data.feed import InferenceFeed, WeaksupFeed, bucket_dim
+from popcorn_tpu.data.synthetic import make_synthetic_region
+from popcorn_tpu.io.geotiff import GeoTIFF
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("popdata"))
+    paths = make_synthetic_region(root, "rwa", height=320, width=448, seed=3)
+    return paths
+
+
+def test_fixture_layout(synth):
+    assert os.path.exists(synth.boundary_path("rwa", "coarse"))
+    assert os.path.exists(synth.census_path("rwa", "coarse"))
+    assert os.path.exists(synth.modality_path("rwa", "S1", "winter"))
+    with GeoTIFF(synth.modality_path("rwa", "S2", "spring")) as g:
+        assert g.count == 4 and g.dtype == np.uint16
+
+
+def test_patch_grid_reference_semantics():
+    """Grid must equal the reference formula (PopulationDataset.py:294-334)."""
+    g = patch_grid((300, 250), patchsize=100, overlap=10, fourseasons=True)
+    stride = 100 - 20
+    xs = list(range(0, 300 - 100, stride))
+    ys = list(range(0, 250 - 100, stride))
+    n_main = len(xs) * len(ys)
+    expected = (n_main + len(ys) + len(xs) + 1) * 4
+    assert g.shape == (expected, 3)
+    assert set(g[:, 2]) == {0, 1, 2, 3}
+    # includes border rows and the corner
+    assert [300 - 100, 250 - 100] in g[:, :2].tolist()
+    # all windows in bounds
+    assert (g[:, 0] + 100 <= 300).all() and (g[:, 1] + 100 <= 250).all()
+
+
+def test_validity_mask():
+    m = validity_mask(64, 48, 8)
+    assert m.sum() == (64 - 16) * (48 - 16)
+    assert not m[:8].any() and not m[:, -8:].any()
+
+
+def test_weaksup_split_semantics(synth):
+    full = prepare_weaksup_census(synth.census_path("rwa", "coarse"), "rwa")
+    tr = prepare_weaksup_census(synth.census_path("rwa", "coarse"), "rwa", split="train")
+    va = prepare_weaksup_census(synth.census_path("rwa", "coarse"), "rwa", split="val")
+    assert len(tr) + len(va) == len(full)
+    assert set(tr["idx"]).isdisjoint(set(va["idx"]))
+    # deterministic split (rng 1610)
+    tr2 = prepare_weaksup_census(synth.census_path("rwa", "coarse"), "rwa", split="train")
+    assert (tr["idx"].to_numpy() == tr2["idx"].to_numpy()).all()
+
+
+def test_weaksup_item(synth):
+    ds = PopulationDataset(
+        synth, "rwa", mode="weaksup", train_level="coarse", fourseasons=True,
+        patchsize=None, overlap=None,
+    )
+    rng = np.random.default_rng(0)
+    it = ds.get_admin_item(0, rng)
+    assert it["S2"].shape[-1] == 4 and it["S1"].shape[-1] == 2
+    assert it["S2"].shape[:2] == it["admin_mask"].shape
+    # admin window includes the 32px halo (clamped at borders)
+    xmin, xmax, ymin, ymax = it["valid_coords"]
+    h = it["admin_mask"].shape[0]
+    assert h >= (xmax - xmin) and h <= (xmax - xmin) + 64
+    # the region's own id must be present inside the mask
+    assert (it["admin_mask"] == it["census_idx"]).sum() > 0
+    ds.close()
+
+
+def test_test_item_and_feed(synth):
+    ds = PopulationDataset(
+        synth, "rwa", mode="test", patchsize=128, overlap=16, fourseasons=False
+    )
+    it = ds.get_test_item(0)
+    assert it["S2"].shape == (128, 128, 4)
+    assert it["mask"].shape == (128, 128)
+    feed = InferenceFeed(ds, batch_size=4, prefetch=2)
+    n = 0
+    for b in feed:
+        assert b["S2"].shape == (4, 128, 128, 4)
+        n += int(b["valid"].sum())
+    assert n == len(ds)
+    ds.close()
+
+
+def test_mosaic_fallback(synth, tmp_path):
+    """Reads served from raw tiles when the merged mosaic is missing
+    (the reference's VRT auto-build)."""
+    from popcorn_tpu.io.geotiff import write_geotiff
+    from popcorn_tpu.io.mosaic import MosaicIndex
+
+    merged = synth.modality_path("rwa", "S1", "spring")
+    with GeoTIFF(merged) as g:
+        full = g.read()
+        t = g.transform
+    # split into 4 tiles in a raw tile dir
+    tile_dir = synth.raw_tile_dir("rwa", "S1", "spring")
+    os.makedirs(tile_dir, exist_ok=True)
+    h, w = full.shape[1:]
+    ox, pw, _, oy, _, ph = t
+    for i, (r0, r1) in enumerate([(0, h // 2), (h // 2, h)]):
+        for j, (c0, c1) in enumerate([(0, w // 2), (w // 2, w)]):
+            write_geotiff(
+                os.path.join(tile_dir, f"tile{i}{j}.tif"),
+                full[:, r0:r1, c0:c1],
+                transform=(ox + c0 * pw, pw, oy + r0 * ph, -ph),
+            )
+    idx = MosaicIndex.from_dir(tile_dir)
+    assert idx.shape == (h, w)
+    win = ((h // 4, h // 2 + 20), (w // 4, w // 2 + 33))
+    np.testing.assert_allclose(
+        idx.read(window=win), full[:, win[0][0] : win[0][1], win[1][0] : win[1][1]],
+        rtol=1e-6,
+    )
+
+
+def test_census_agg_matches_naive_loop(synth):
+    """segment_sum aggregation == the reference's per-region loop."""
+    with GeoTIFF(synth.boundary_path("rwa", "coarse")) as g:
+        boundary = g.read(1, squeeze=True)
+    census = pd.read_csv(synth.census_path("rwa", "coarse"))
+    rng = np.random.default_rng(7)
+    pred = rng.random(boundary.shape).astype(np.float32) * 3
+
+    census_pred, census_gt = convert_popmap_to_census(pred, boundary, census)
+
+    # naive loop (the reference algorithm, PopulationDataset.py:705-712)
+    naive = []
+    for _, row in census.iterrows():
+        from popcorn_tpu.data.dataset import parse_bbox
+
+        xmin, xmax, ymin, ymax = parse_bbox(row["bbox"])
+        sel = boundary[xmin:xmax, ymin:ymax] == row["idx"]
+        naive.append(pred[xmin:xmax, ymin:ymax][sel].sum())
+    np.testing.assert_allclose(census_pred, np.asarray(naive, np.float32), rtol=1e-5)
+    assert (census_gt == census["POP20"].to_numpy(np.float32)).all()
+
+
+def test_adjust_map(synth):
+    with GeoTIFF(synth.boundary_path("rwa", "coarse")) as g:
+        boundary = g.read(1, squeeze=True)
+    census = pd.read_csv(synth.census_path("rwa", "coarse"))
+    rng = np.random.default_rng(8)
+    pred = rng.random(boundary.shape).astype(np.float32)
+    adj = adjust_map_to_census(pred, boundary, census)
+    sums, gts = convert_popmap_to_census(adj, boundary, census)
+    np.testing.assert_allclose(sums, gts, rtol=1e-3)
+    # pixels outside any census region are untouched
+    outside = ~np.isin(boundary, census["idx"].to_numpy())
+    np.testing.assert_array_equal(adj[outside], pred[outside])
+    d = detail_maps(pred, boundary, census)
+    assert set(d) == {
+        "densities", "totals", "densities_gt", "totals_gt", "residuals", "residuals_rel",
+    }
+
+
+def test_bucketing_and_feed(synth):
+    assert bucket_dim(100) == 256 and bucket_dim(257) == 512
+    assert bucket_dim(5000) == 5120
+    ds = PopulationDataset(
+        synth, "rwa", mode="weaksup", train_level="coarse", fourseasons=True,
+        patchsize=None, overlap=None,
+    )
+    feed = WeaksupFeed([ds], batch_size=2, seed=1600, prefetch=2)
+    batches = list(feed.epoch(0))
+    assert batches, "no batches produced"
+    for b in batches:
+        bsz, h, w, c = b["S2"].shape
+        assert bsz == 2 and c == 4
+        assert h % 64 == 0 and w % 64 == 0  # bucketed to UNet-friendly sizes
+        assert b["admin_mask"].shape == (2, h, w)
+        assert b["photometric"].shape == (4,)
+        # padding in the admin mask is -1
+        assert (b["admin_mask"].min() >= -1).all()
+    # deterministic epoch
+    b0a = next(iter(WeaksupFeed([ds], batch_size=2, seed=1600, prefetch=0).epoch(0)))
+    b0b = next(iter(WeaksupFeed([ds], batch_size=2, seed=1600, prefetch=0).epoch(0)))
+    np.testing.assert_array_equal(b0a["S2"], b0b["S2"])
+    ds.close()
