@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: Bag-of-POPCORN ensemble inference throughput on one chip.
+
+Headline metric: 2048x2048 S1+S2 patches/sec through the FULL 5-member
+ensemble (vmapped members, fused Pallas head, bf16 conv compute) — the
+unit of work that dominates country-scale map production (run_eval path,
+BASELINE.md north star: full-Rwanda < 5 min on v5e-8).
+
+vs_baseline: the reference evaluates the 5 members sequentially per patch
+on a single 24 GB GPU (run_eval.py:108-115); from the published training
+times (~8 h Rwanda, README.md:185) and the sequential-ensemble eval loop
+we estimate the reference at ~1.2 ensemble-patches/sec. That estimate is
+the denominator; >1.0 means faster than the reference pipeline.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ESTIMATE_PATCHES_PER_SEC = 1.2
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from popcorn_tpu.config import ModelConfig, find_dda_checkpoint
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.infer.sliding import make_patch_forward, stack_ensemble
+    from popcorn_tpu.nn.init import init_head, init_popcorn
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+    on_tpu = backend == "tpu"
+
+    mcfg = ModelConfig(
+        pretrained=True,
+        fused_head=on_tpu,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+
+    # 5 ensemble members: shared pretrained DDA extractor, per-seed heads
+    # (the Bag-of-POPCORN seeds 1600-1604, README.md:200).
+    if find_dda_checkpoint():
+        from popcorn_tpu.compat.torch_convert import load_popcorn_from_dda
+
+        params0, consts = load_popcorn_from_dda(mcfg)
+    else:
+        params0, consts = init_popcorn(jax.random.PRNGKey(1600), mcfg)
+    members = []
+    for seed in range(1600, 1605):
+        m = dict(params0)
+        m["head"] = init_head(jax.random.PRNGKey(seed), biasinit=0.9407)
+        members.append(m)
+
+    stats = NormStats()
+    n_members = len(members)
+    stacked = stack_ensemble(members)
+    fwd = make_patch_forward(mcfg, consts, stats, n_members)
+
+    ips = 2048
+    batch = 1
+    rng = np.random.default_rng(0)
+    dev_batch = {
+        "S2": jnp.asarray(rng.uniform(0, 4000, (batch, ips, ips, 4)), jnp.float32),
+        "S1": jnp.asarray(rng.uniform(-25, 0, (batch, ips, ips, 2)), jnp.float32),
+        "mask": jnp.ones((batch, ips, ips), jnp.float32),
+        "valid": jnp.ones((batch,), jnp.float32),
+    }
+
+    log("compiling...")
+    t0 = time.time()
+    res = fwd(stacked, dev_batch)
+    jax.block_until_ready(res)
+    log(f"first call (compile+run): {time.time() - t0:.1f}s")
+
+    # warmup + timed
+    for _ in range(2):
+        jax.block_until_ready(fwd(stacked, dev_batch))
+    iters = 10 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(iters):
+        res = fwd(stacked, dev_batch)
+    jax.block_until_ready(res)
+    dt = time.time() - t0
+    pps = iters * batch / dt
+    log(f"{iters} iters in {dt:.3f}s -> {pps:.3f} ensemble-patches/s")
+    log(
+        f"projected full-Rwanda (~330 patches x4 seasons): "
+        f"{330 * 4 / pps / 60:.2f} min single-chip"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble5_2048px_patches_per_sec",
+                "value": round(pps, 4),
+                "unit": "patches/s",
+                "vs_baseline": round(pps / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""CLI argument surface mirroring the reference's configargparse parsers
+(arguments/train.py:8-61 and arguments/eval.py:3-27) so a reference user
+can reuse their command lines, plus the data-root flag that replaces the
+hard-coded cluster paths. Config files are supported via @file syntax
+(argparse fromfile, covering eval's `-c config` use case)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import EvalConfig, ModelConfig, TrainConfig
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data_root", type=str, default=None,
+                   help="PopMapData root (default: $POPCORN_DATA)")
+    p.add_argument("-treg", "--target_regions", nargs="+", default=["rwa"])
+    p.add_argument("-S1", "--Sentinel1", action="store_true")
+    p.add_argument("-S2", "--Sentinel2", action="store_true")
+    p.add_argument("-NIR", "--NIR", action="store_true")
+    p.add_argument("-m", "--model", type=str, default="POPCORN")
+    p.add_argument("-occmodel", "--occupancymodel", action="store_true")
+    p.add_argument("-binp", "--buildinginput", action="store_true")
+    p.add_argument("-sinp", "--segmentationinput", action="store_true")
+    p.add_argument("-senbuilds", "--sentinelbuildings", action="store_true")
+    p.add_argument("-fe", "--feature_extractor", type=str, default="DDA")
+    p.add_argument("-pret", "--pretrained", action="store_true")
+    p.add_argument("-binit", "--biasinit", type=float, default=0.75)
+    p.add_argument("-tlevel", "--train_level", nargs="+", default=["coarse"])
+    p.add_argument("-wp", "--wandb_project", type=str, default="POPCORN")
+    p.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
+    # TPU-specific
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--fused_head", action="store_true", default=None)
+    p.add_argument("--no_fused_head", dest="fused_head", action="store_false")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="devices on the 'data' mesh axis")
+
+
+def train_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native POPCORN training", fromfile_prefix_chars="@"
+    )
+    _add_common(p)
+    p.add_argument("-r", "--resume", type=str, default=None)
+    p.add_argument("-tregtrain", "--target_regions_train", nargs="+", default=["rwa"])
+    p.add_argument("-wb", "--weak_batch_size", type=int, default=2)
+    p.add_argument("-wvb", "--weak_val_batch_size", type=int, default=1)
+    p.add_argument("-e", "--num_epochs", type=int, default=100)
+    p.add_argument("-lr", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-l", "--loss", nargs="+", default=["log_l1_loss"])
+    p.add_argument("-sreg", "--scale_regularization", type=float, default=0.01)
+    p.add_argument("-la", "--lam", nargs="+", type=float, default=[1.0])
+    p.add_argument("-lw", "--lam_weak", type=float, default=100.0)
+    p.add_argument("-lim1", "--limit1", type=int, default=9_000_000)
+    p.add_argument("-lim2", "--limit2", type=int, default=9_000_000)
+    p.add_argument("-lim3", "--limit3", type=int, default=13_000_000)
+    p.add_argument("-wd", "--weightdecay", type=float, default=0.0)
+    p.add_argument("-lrs", "--lr_step", type=int, default=5)
+    p.add_argument("-lrg", "--lr_gamma", type=float, default=0.75)
+    p.add_argument("-gc", "--gradient_clip", type=float, default=0.01)
+    p.add_argument("-ascAug", "--ascAug", action="store_true")
+    p.add_argument("--save_dir", default="outputs")
+    p.add_argument("-w", "--num_workers", type=int, default=6)
+    p.add_argument("-lt", "--logstep_train", type=int, default=25)
+    p.add_argument("-val", "--val_every_n_epochs", type=int, default=2)
+    p.add_argument("-wv", "--weak_validation", action="store_true")
+    p.add_argument("--seed", type=int, default=1600)
+    p.add_argument("--save-model", dest="save_model", default="both",
+                   choices=["last", "best", "no", "both"])
+    p.add_argument("-mws", "--max_weak_samples", type=int, default=None)
+    p.add_argument("-mwp", "--max_weak_pix", type=int, default=10_000_000)
+    p.add_argument("-mpb", "--max_pix_box", type=int, default=12_000_000)
+    return p
+
+
+def eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native POPCORN ensemble evaluation",
+        fromfile_prefix_chars="@",
+    )
+    _add_common(p)
+    p.add_argument("-r", "--resume", nargs="+", required=True,
+                   help="ensemble member checkpoints (.pth torch or orbax dirs)")
+    p.add_argument("-fs", "--fourseasons", action="store_true")
+    p.add_argument("--seed", type=int, default=1610)
+    p.add_argument("--save-dir", dest="save_dir", default="./results")
+    p.add_argument("-w", "--num_workers", type=int, default=8)
+    p.add_argument("--patch_batch", type=int, default=1)
+    p.add_argument("--full", action="store_true", help="write detail maps")
+    return p
+
+
+def model_config_from_args(a) -> ModelConfig:
+    import jax
+
+    fused = a.fused_head
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    return ModelConfig(
+        s1=a.Sentinel1,
+        s2=a.Sentinel2,
+        nir=a.NIR,
+        occupancy_model=a.occupancymodel,
+        pretrained=a.pretrained,
+        biasinit=a.biasinit,
+        sentinel_buildings=a.sentinelbuildings,
+        feature_extractor=a.feature_extractor,
+        compute_dtype=a.compute_dtype,
+        fused_head=fused,
+    )
+
+
+def train_config_from_args(a) -> TrainConfig:
+    return TrainConfig(
+        target_regions=tuple(a.target_regions),
+        target_regions_train=tuple(a.target_regions_train),
+        train_level=tuple(a.train_level),
+        weak_batch_size=a.weak_batch_size,
+        weak_val_batch_size=a.weak_val_batch_size,
+        num_epochs=a.num_epochs,
+        learning_rate=a.learning_rate,
+        loss=tuple(a.loss),
+        lam=tuple(a.lam),
+        lam_weak=a.lam_weak,
+        scale_regularization=a.scale_regularization,
+        weight_decay=a.weightdecay,
+        lr_step=a.lr_step,
+        lr_gamma=a.lr_gamma,
+        gradient_clip=a.gradient_clip,
+        seed=a.seed,
+        limit1=a.limit1,
+        limit2=a.limit2,
+        limit3=a.limit3,
+        max_weak_samples=a.max_weak_samples,
+        max_weak_pix=a.max_weak_pix,
+        max_pix_box=a.max_pix_box,
+        weak_validation=a.weak_validation,
+        val_every_n_epochs=a.val_every_n_epochs,
+        logstep_train=a.logstep_train,
+        asc_aug=a.ascAug,
+        save_dir=a.save_dir,
+        num_workers=a.num_workers,
+        save_model=a.save_model,
+        data_parallel=a.data_parallel,
+    )
+
+
+def eval_config_from_args(a) -> EvalConfig:
+    return EvalConfig(
+        target_regions=tuple(a.target_regions),
+        train_level=tuple(a.train_level),
+        checkpoints=tuple(a.resume),
+        fourseasons=a.fourseasons,
+        seed=a.seed,
+        save_dir=a.save_dir,
+        num_workers=a.num_workers,
+        patch_batch=a.patch_batch,
+    )

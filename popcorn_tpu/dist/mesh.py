@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers — the collectives layer.
+
+The reference is single-GPU with no distributed code (SURVEY.md §2.2); this
+module supplies the idiomatic TPU equivalents:
+
+  * a 1-D ``data`` mesh over ICI for data-parallel training and
+    patch-sharded inference (SPMD via jit + NamedSharding — XLA inserts
+    the psum for gradient sync automatically);
+  * an optional ``ensemble`` axis for Bag-of-POPCORN members
+    (run_eval.py:49-53 evaluates 5 members sequentially on one GPU; on a
+    mesh each member/patch pair lands on its own chip).
+
+All helpers degrade gracefully to single-device when the mesh is None.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D data-parallel mesh over the fastest (ICI) axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_data or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return Mesh(np.asarray(devices[:n]), axis_names=("data",))
+
+
+def batch_sharding(mesh: Optional[Mesh]):
+    """NamedSharding that splits the leading (batch) axis across 'data'."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Optional[Mesh], *, batch_keys: Sequence[str]) -> Dict:
+    """device_put a host batch: listed keys split on axis 0, rest replicated."""
+    if mesh is None:
+        return batch
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v
+            continue
+        out[k] = jax.device_put(v, bs if k in batch_keys else rep)
+    return out
+
+
+def pad_batch_to_multiple(batch: Dict, multiple: int, batch_keys: Sequence[str]) -> Dict:
+    """Pad the leading axis so it divides the mesh size; adds/extends a
+    'valid' bool mask so padded rows are ignored downstream."""
+    some = next(k for k in batch_keys if k in batch)
+    b = batch[some].shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        if "valid" not in batch:
+            batch = dict(batch)
+            batch["valid"] = np.ones(b, bool)
+        return batch
+    out = dict(batch)
+    for k in batch_keys:
+        if k in batch:
+            v = batch[k]
+            pad = np.repeat(v[-1:], rem, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+    valid = batch.get("valid", np.ones(b, bool))
+    out["valid"] = np.concatenate([valid, np.zeros(rem, bool)])
+    return out

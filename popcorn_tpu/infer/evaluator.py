@@ -1,0 +1,149 @@
+"""Bag-of-POPCORN ensemble evaluation driver.
+
+TPU-native counterpart of run_eval.py:29-269: loads N checkpoints (ours,
+or released PyTorch .pth via the compat converter), runs vmapped-ensemble
+sliding-window inference per region, writes the mean/STD/SCALE/SCALE_STD
+GeoTIFFs, evaluates census metrics per level, then applies the
+dasymmetric adjustment and re-evaluates (ADJ maps).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..agg.census_agg import adjust_map_to_census, convert_popmap_to_census, detail_maps
+from ..compat.torch_convert import load_popcorn_checkpoint
+from ..config import (
+    NEED_ASCENDING_FILL,
+    TESTLEVELS_EVAL,
+    DataPaths,
+    EvalConfig,
+    ModelConfig,
+)
+from ..data.dataset import PopulationDataset
+from ..data.normalize import NormStats
+from ..io.geotiff import GeoTIFF
+from ..losses.metrics import get_test_metrics
+from ..train.checkpoint import restore_params
+from ..utils.log import MetricsLogger
+from .sliding import run_sliding_inference
+
+
+def load_member(path: str):
+    """Load one ensemble member: an Orbax dir (ours) or a torch .pth."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        params, consts = load_popcorn_checkpoint(path)
+        return params, consts
+    return restore_params(path), None
+
+
+class Evaluator:
+    def __init__(
+        self,
+        paths: DataPaths,
+        mcfg: ModelConfig,
+        ecfg: EvalConfig,
+        *,
+        consts=None,
+        mesh=None,
+        use_wandb: bool = False,
+    ):
+        if not ecfg.checkpoints:
+            raise ValueError("EvalConfig.checkpoints is empty")
+        self.paths = paths
+        self.mcfg = mcfg
+        self.ecfg = ecfg
+        self.mesh = mesh
+
+        first_dir = os.path.dirname(os.path.abspath(ecfg.checkpoints[0]))
+        self.experiment_folder = os.path.join(
+            first_dir,
+            "eval_outputs_ensemble_{}_members_{}".format(
+                time.strftime("%Y%m%d-%H%M%S"), len(ecfg.checkpoints)
+            ),
+        )
+        os.makedirs(self.experiment_folder, exist_ok=True)
+        self.logger = MetricsLogger(self.experiment_folder, use_wandb=use_wandb)
+
+        self.members = []
+        self.consts = consts
+        for p in ecfg.checkpoints:
+            params, member_consts = load_member(p)
+            self.members.append(params)
+            if self.consts is None and member_consts is not None:
+                self.consts = member_consts
+        if self.consts is None:
+            from ..compat.torch_convert import load_popcorn_from_dda
+
+            _, self.consts = load_popcorn_from_dda(mcfg)
+
+        self.datasets = [
+            PopulationDataset(
+                paths, reg, mode="test", patchsize=2048, overlap=128,
+                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                fourseasons=ecfg.fourseasons,
+                ascfill=reg in NEED_ASCENDING_FILL,
+                train_level=lvl,
+            )
+            for reg, lvl in zip(ecfg.target_regions, ecfg.train_level)
+        ]
+        self.stats = NormStats()
+
+    def test_target(self, save: bool = True, full: bool = False) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for ds in self.datasets:
+            maps = run_sliding_inference(
+                self.members, self.consts, self.mcfg, ds,
+                stats=self.stats, batch_size=self.ecfg.patch_batch,
+                mesh=self.mesh, progress=True,
+            )
+            if save:
+                ds.save(maps["map"], self.experiment_folder)
+                ds.save(maps["map_std"], self.experiment_folder, tag="STD")
+                if self.mcfg.occupancy_model:
+                    ds.save(
+                        maps["scale"], self.experiment_folder,
+                        tag=f"SCALE_{ds.region}",
+                    )
+                    ds.save(maps["scale_std"], self.experiment_folder, tag="SCALE_STD")
+
+            boundaries = {}
+            for level in TESTLEVELS_EVAL.get(ds.region, ["coarse"]):
+                with GeoTIFF(ds.boundary_paths[level]) as g:
+                    boundaries[level] = g.read(1, squeeze=True)
+                census = pd.read_csv(ds.census_paths[level])
+                pred_c, gt_c = convert_popmap_to_census(
+                    maps["map"], boundaries[level], census
+                )
+                out.update(
+                    get_test_metrics(pred_c, gt_c, tag=f"MainCensus_{ds.region}_{level}")
+                )
+                if full:
+                    det = detail_maps(maps["map"], boundaries[level], census)
+                    ddir = os.path.join(
+                        self.experiment_folder, f"{ds.region}_{level}"
+                    )
+                    for name, m in det.items():
+                        ds.save(m, ddir, tag=f"_{name}")
+
+            # dasymmetric adjustment at the train level (run_eval.py:181-200)
+            lvl = ds.train_level
+            with GeoTIFF(ds.boundary_paths[lvl]) as g:
+                train_boundary = g.read(1, squeeze=True)
+            census_train = pd.read_csv(ds.census_paths[lvl])
+            adj = adjust_map_to_census(maps["map"], train_boundary, census_train)
+            if save:
+                ds.save(adj, self.experiment_folder, tag=f"ADJ_{ds.region}")
+            for level in TESTLEVELS_EVAL.get(ds.region, ["coarse"]):
+                census = pd.read_csv(ds.census_paths[level])
+                pred_c, gt_c = convert_popmap_to_census(adj, boundaries[level], census)
+                out.update(
+                    get_test_metrics(pred_c, gt_c, tag=f"AdjCensus_{ds.region}_{level}")
+                )
+        self.logger.log({f"{k}/targettest": v for k, v in out.items()}, 0)
+        return out

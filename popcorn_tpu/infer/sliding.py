@@ -1,0 +1,189 @@
+"""Country-scale sliding-window inference with ensemble stitching.
+
+Re-implements the reference's eval driver (run_eval.py:71-203 and the
+in-training test_target, run_train.py:314-370) TPU-first:
+
+  * the Bag-of-POPCORN ensemble (5 members evaluated sequentially in a
+    Python loop on the reference GPU, run_eval.py:108-115) becomes ONE
+    compiled function: member params are stacked and vmapped, so all
+    members run per patch in a single device launch;
+  * patches are batched (and optionally sharded over a 'data' mesh axis —
+    the spatial analogue of sequence parallelism, SURVEY.md §2.2);
+  * the halo-validity mask is applied on device, so the host only adds
+    dense slices into the country-scale accumulators;
+  * ensemble mean + std use the identical sum/sum-of-squares math
+    (std = sqrt((sum_sq - n*mean^2)/(n-1)), run_eval.py:137-154),
+    including the count>1 divide mask quirk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..data.dataset import PopulationDataset
+from ..data.feed import InferenceFeed
+from ..data.normalize import NormStats, normalize_and_assemble
+from ..dist.mesh import batch_sharding, replicated
+from ..nn.popcorn import popcorn_forward
+
+Tree = Dict[str, Any]
+
+
+def stack_ensemble(params_list: Sequence[Tree]) -> Tree:
+    """Stack N member param trees along a new leading axis for vmap."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def make_patch_forward(
+    mcfg: ModelConfig,
+    consts: Tree,
+    stats: NormStats,
+    n_members: int,
+    mesh=None,
+):
+    """Jitted ensemble patch forward.
+
+    Returns fn(stacked_params, batch) -> dict of (B,H,W) float32 maps:
+    popdense_sum/sq over members, scale_sum/sq, all pre-multiplied by the
+    validity mask so the host does dense adds only.
+    """
+
+    def member_forward(params, inputs):
+        out = popcorn_forward(
+            params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+        )
+        scale = out["scale"]
+        if scale is None:
+            scale = jnp.zeros_like(out["popdensemap"])
+        return out["popdensemap"], scale
+
+    def fn(stacked_params, batch):
+        sample = {}
+        if mcfg.s2 and "S2" in batch:
+            sample["S2"] = batch["S2"]
+        if mcfg.s1 and "S1" in batch:
+            sample["S1"] = batch["S1"]
+        inputs = {"input": normalize_and_assemble(sample, stats)}
+        dense, scale = jax.vmap(member_forward, in_axes=(0, None))(
+            stacked_params, inputs
+        )  # (M,B,H,W)
+        dense = dense.astype(jnp.float32)
+        scale = scale.astype(jnp.float32)
+        mask = batch["mask"].astype(jnp.float32)  # (B,H,W)
+        valid = batch["valid"].astype(jnp.float32)[:, None, None]
+        m = mask * valid
+        return {
+            "dense_sum": jnp.sum(dense, 0) * m,
+            "dense_sq": jnp.sum(dense**2, 0) * m,
+            "scale_sum": jnp.sum(scale, 0) * m,
+            "scale_sq": jnp.sum(scale**2, 0) * m,
+            "count": m * n_members,
+        }
+
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        keys = ["mask", "valid"]
+        if mcfg.s2:
+            keys.append("S2")
+        if mcfg.s1:
+            keys.append("S1")
+        in_shardings = (rep, {k: bs for k in keys})
+        return jax.jit(fn, in_shardings=in_shardings, out_shardings=bs)
+    return jax.jit(fn)
+
+
+class StitchAccumulators:
+    """Host-side country-scale accumulators + the reference's finalize math."""
+
+    def __init__(self, shape: Tuple[int, int]):
+        h, w = shape
+        self.out = np.zeros((h, w), np.float32)
+        self.out_sq = np.zeros((h, w), np.float32)
+        self.scale = np.zeros((h, w), np.float32)
+        self.scale_sq = np.zeros((h, w), np.float32)
+        self.count = np.zeros((h, w), np.int32)
+
+    def add(self, x: int, y: int, res: Dict[str, np.ndarray], b: int):
+        p = res["dense_sum"].shape[-1]
+        sl = (slice(x, x + p), slice(y, y + p))
+        self.out[sl] += res["dense_sum"][b]
+        self.out_sq[sl] += res["dense_sq"][b]
+        self.scale[sl] += res["scale_sum"][b]
+        self.scale_sq[sl] += res["scale_sq"][b]
+        self.count[sl] += res["count"][b].astype(np.int32)
+
+    def finalize(self) -> Dict[str, np.ndarray]:
+        """Visit-count averaging + sum-of-squares std (run_eval.py:137-154).
+
+        Reproduces the reference's div_mask = count > 1 exactly: pixels
+        visited once by a single model keep their raw sum (identical value)
+        and get std 0.
+        """
+        cnt = self.count.astype(np.float32)
+        div = self.count > 1
+        safe = np.where(div, cnt, 1.0)
+        mean = np.where(div, self.out / safe, self.out)
+        var = np.where(
+            div,
+            (self.out_sq - mean**2 * cnt) / np.maximum(cnt - 1.0, 1.0),
+            0.0,
+        )
+        std = np.sqrt(np.maximum(var, 0.0))
+        smean = np.where(div, self.scale / safe, self.scale)
+        svar = np.where(
+            div,
+            (self.scale_sq - smean**2 * cnt) / np.maximum(cnt - 1.0, 1.0),
+            0.0,
+        )
+        sstd = np.sqrt(np.maximum(svar, 0.0))
+        return {
+            "map": mean,
+            "map_std": std,
+            "scale": smean,
+            "scale_std": sstd,
+            "count": self.count,
+        }
+
+
+def run_sliding_inference(
+    members: Sequence[Tree],
+    consts: Tree,
+    mcfg: ModelConfig,
+    dataset: PopulationDataset,
+    *,
+    stats: Optional[NormStats] = None,
+    batch_size: int = 1,
+    mesh=None,
+    progress: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Full-region ensemble inference -> stitched mean/std maps."""
+    stats = stats or NormStats()
+    stacked = stack_ensemble(list(members))
+    fwd = make_patch_forward(mcfg, consts, stats, len(members), mesh=mesh)
+    acc = StitchAccumulators(dataset.shape())
+
+    feed = InferenceFeed(dataset, batch_size=batch_size, prefetch=2)
+    it = feed
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(feed, total=len(feed), leave=False)
+    for batch in it:
+        dev_batch = {
+            k: batch[k] for k in ("S2", "S1", "mask", "valid") if k in batch
+        }
+        res = fwd(stacked, dev_batch)
+        res = {k: np.asarray(v) for k, v in res.items()}
+        for b in range(len(batch["valid"])):
+            if not batch["valid"][b]:
+                continue
+            x, y = (int(v) for v in batch["img_coords"][b])
+            acc.add(x, y, res, b)
+    return acc.finalize()

@@ -1,0 +1,176 @@
+"""Training state, optimizer chain and the jitted train step.
+
+Optimizer semantics replicate the reference exactly
+(run_train.py:82-93, arguments/train.py:29,38-41):
+
+  * Adam lr 1e-4 over three param groups — here one optax chain with a
+    weight-decay *mask* excluding the head's final layer (the reference's
+    params_without_decay = head.6.{weight,bias});
+  * torch-Adam-style decoupling: weight decay is added to the raw
+    gradient *before* the Adam moments (optax.add_decayed_weights placed
+    before scale_by_adam matches torch.optim.Adam's weight_decay);
+  * global-norm gradient clipping 0.01 applied before everything
+    (run_train.py:233-234 clips before optimizer.step);
+  * StepLR(step_size=5, gamma=0.75) stepped per *epoch* — the learning
+    rate lives in the optimizer state via optax.inject_hyperparams, so
+    the trainer updates it between epochs without recompiling.
+
+The train step is one jitted function: device-side photometric
+augmentation -> normalization/assembly -> POPCORN forward (sparse mask) ->
+log-L1 census loss * lam_weak -> grads -> optax update. Memory-tier flags
+(encoder/unet stop-gradient, run_train.py:190-198) are static arguments —
+each tier is its own XLA specialisation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..data.normalize import NormStats, normalize_and_assemble, photometric_s2_traced
+from ..losses.losses import get_loss
+from ..nn.popcorn import popcorn_forward
+
+Tree = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Tree
+    opt_state: Any
+    step: int
+    epoch: int
+
+
+def decay_mask(params: Tree) -> Tree:
+    """True where weight decay applies: everywhere except head.l4
+    (the reference's no-decay group head.6.{weight,bias}, run_train.py:85-89)."""
+
+    def f(path, _leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        return not ("head" in keys and "l4" in keys)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def make_optimizer(tc: TrainConfig):
+    """optax chain mirroring torch Adam + clip + StepLR (see module doc)."""
+
+    @optax.inject_hyperparams
+    def tx(learning_rate):
+        chain = []
+        if tc.gradient_clip > 0:
+            chain.append(optax.clip_by_global_norm(tc.gradient_clip))
+        if tc.weight_decay > 0:
+            chain.append(
+                optax.add_decayed_weights(tc.weight_decay, mask=decay_mask)
+            )
+        chain.append(optax.scale_by_adam())
+        chain.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*chain)
+
+    return tx(learning_rate=tc.learning_rate)
+
+
+def step_lr(base_lr: float, epoch: int, step_size: int, gamma: float) -> float:
+    """StepLR schedule value at `epoch` (torch semantics)."""
+    return base_lr * (gamma ** (epoch // step_size))
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected lr in-place-ish (returns new state)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def make_train_step(
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    consts: Tree,
+    stats: NormStats,
+    optimizer,
+):
+    """Build the jitted train step.
+
+    Signature: step(params, opt_state, batch, key, *, encoder_no_grad,
+    unet_no_grad) -> (params, opt_state, aux).
+    batch: {'S2','S1' (B,H,W,C) raw, 'admin_mask' (B,H,W),
+            'census_idx','y' (B,), 'photometric' (4,)}.
+    """
+
+    def loss_fn(params, batch, key, encoder_no_grad, unet_no_grad):
+        sample = {}
+        if mcfg.s2 and "S2" in batch:
+            sample["S2"] = photometric_s2_traced(batch["S2"], batch["photometric"])
+        if mcfg.s1 and "S1" in batch:
+            sample["S1"] = batch["S1"]
+        inputs = {
+            "input": normalize_and_assemble(sample, stats),
+            "admin_mask": batch["admin_mask"],
+            "census_idx": batch["census_idx"],
+        }
+        out = popcorn_forward(
+            params,
+            consts,
+            inputs,
+            mcfg,
+            train=True,
+            padding=False,
+            encoder_no_grad=encoder_no_grad,
+            unet_no_grad=unet_no_grad,
+            sparse=True,
+            key=key,
+        )
+        loss, aux = get_loss(
+            out["popcount"],
+            batch["y"],
+            scale_abs_mean=out["scale_abs_mean"],
+            loss=tcfg.loss,
+            lam=tcfg.lam,
+            scale_regularization=tcfg.scale_regularization,
+            tag="weak",
+        )
+        optim_loss = loss * tcfg.lam_weak
+        aux["optimization_loss"] = optim_loss
+        aux["popcount"] = out["popcount"]
+        return optim_loss, aux
+
+    @functools.partial(jax.jit, static_argnames=("encoder_no_grad", "unet_no_grad"))
+    def step(params, opt_state, batch, key, *, encoder_no_grad=False, unet_no_grad=False):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, encoder_no_grad, unet_no_grad
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return step
+
+
+def make_eval_popcount(mcfg: ModelConfig, consts: Tree, stats: NormStats):
+    """Jitted no-grad popcount for weak validation (run_train.py:289-312)."""
+
+    @jax.jit
+    def fn(params, batch):
+        sample = {}
+        if mcfg.s2 and "S2" in batch:
+            sample["S2"] = batch["S2"]
+        if mcfg.s1 and "S1" in batch:
+            sample["S1"] = batch["S1"]
+        inputs = {
+            "input": normalize_and_assemble(sample, stats),
+            "admin_mask": batch["admin_mask"],
+            "census_idx": batch["census_idx"],
+        }
+        out = popcorn_forward(
+            params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+        )
+        return out["popcount"]
+
+    return fn

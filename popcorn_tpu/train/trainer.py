@@ -1,0 +1,308 @@
+"""The weakly-supervised training driver.
+
+TPU-native counterpart of the reference Trainer (run_train.py:43-476):
+epoch loop over census-region batches, memory-tiered gradient freezing,
+weak validation, in-training sliding-window test with map saving,
+StepLR scheduling and checkpoint/resume — on top of the bucketed feed
+(static XLA shapes) and a single jitted train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import (
+    NEED_ASCENDING_FILL,
+    TESTLEVELS,
+    DataPaths,
+    EvalConfig,
+    ModelConfig,
+    TrainConfig,
+    find_dda_checkpoint,
+)
+from ..data.dataset import PopulationDataset
+from ..data.feed import InferenceFeed, WeaksupFeed
+from ..data.normalize import NormStats
+from ..io.geotiff import GeoTIFF
+from ..losses.losses import r2
+from ..losses.metrics import get_test_metrics
+from ..agg.census_agg import convert_popmap_to_census
+from ..infer.sliding import run_sliding_inference
+from ..nn.init import init_popcorn
+from ..compat.torch_convert import load_popcorn_from_dda
+from ..utils.log import MetricsLogger, NumberList, new_log
+from . import checkpoint as ckpt
+from .state import (
+    make_eval_popcount,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+    step_lr,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        paths: DataPaths,
+        mcfg: ModelConfig,
+        tcfg: TrainConfig,
+        *,
+        resume: Optional[str] = None,
+        use_wandb: bool = False,
+        inference_patch: int = 2048,
+        inference_overlap: int = 128,
+        test_patch_batch: int = 1,
+    ):
+        self.paths = paths
+        self.mcfg = mcfg
+        self.tcfg = tcfg
+        self.inference_patch = inference_patch
+        self.inference_overlap = inference_overlap
+        self.test_patch_batch = test_patch_batch
+
+        args = {**dataclasses.asdict(mcfg), **dataclasses.asdict(tcfg)}
+        self.experiment_folder, _, _ = new_log(tcfg.save_dir, args)
+        self.logger = MetricsLogger(self.experiment_folder, use_wandb=use_wandb)
+
+        # datasets ------------------------------------------------------------
+        split = "train" if tcfg.weak_validation else "all"
+        self.train_datasets = [
+            PopulationDataset(
+                paths, reg, mode="weaksup", split=split, train_level=lvl,
+                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, fourseasons=tcfg.fourseasons,
+                max_samples=tcfg.max_weak_samples, max_pix=tcfg.max_weak_pix,
+                max_pix_box=tcfg.max_pix_box, ascfill=reg in NEED_ASCENDING_FILL,
+                asc_aug=tcfg.asc_aug, patchsize=None, overlap=None,
+            )
+            for reg, lvl in zip(tcfg.target_regions_train, tcfg.train_level)
+        ]
+        self.val_datasets = (
+            [
+                PopulationDataset(
+                    paths, reg, mode="weaksup", split="val", train_level=lvl,
+                    s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, fourseasons=tcfg.fourseasons,
+                    max_samples=tcfg.max_weak_samples, max_pix=tcfg.max_weak_pix,
+                    max_pix_box=tcfg.max_pix_box, ascfill=reg in NEED_ASCENDING_FILL,
+                    patchsize=None, overlap=None,
+                )
+                for reg, lvl in zip(tcfg.target_regions_train, tcfg.train_level)
+            ]
+            if tcfg.weak_validation
+            else []
+        )
+        self.test_datasets = [
+            PopulationDataset(
+                paths, reg, mode="test", patchsize=inference_patch,
+                overlap=inference_overlap, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                fourseasons=False, ascfill=reg in NEED_ASCENDING_FILL,
+            )
+            for reg in tcfg.target_regions
+        ]
+
+        self.feed = WeaksupFeed(
+            self.train_datasets,
+            batch_size=tcfg.weak_batch_size,
+            bucket_ladder=tcfg.bucket_ladder,
+            seed=tcfg.seed,
+        )
+
+        # model ---------------------------------------------------------------
+        key = jax.random.PRNGKey(tcfg.seed)
+        if mcfg.pretrained and find_dda_checkpoint():
+            self.params, self.consts = load_popcorn_from_dda(mcfg, head_key=key)
+        else:
+            self.params, self.consts = init_popcorn(key, mcfg)
+
+        self.stats = NormStats()
+        self.optimizer = make_optimizer(tcfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_fn = make_train_step(mcfg, tcfg, self.consts, self.stats, self.optimizer)
+        self.eval_popcount = make_eval_popcount(mcfg, self.consts, self.stats)
+
+        self.info = {"epoch": 0, "iter": 0, "sampleitr": 0}
+        self.pred_buffer = NumberList(300)
+        self.target_buffer = NumberList(300)
+        self._key = jax.random.PRNGKey(tcfg.seed + 1)
+
+        if resume is not None:
+            self.resume(resume)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save_model(self, prefix: str = "last"):
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": self.info["epoch"] + 1,
+            "iter": self.info["iter"],
+        }
+        ckpt.save_checkpoint(
+            os.path.join(self.experiment_folder, f"{prefix}_model"), state
+        )
+
+    def resume(self, path: str, load_optimizer: bool = True):
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": 0,
+            "iter": 0,
+        }
+        state = ckpt.restore_checkpoint(path, template)
+        self.params = state["params"]
+        if load_optimizer:
+            self.opt_state = state["opt_state"]
+        self.info["epoch"] = int(state["epoch"])
+        self.info["iter"] = int(state["iter"])
+
+    # -- training ------------------------------------------------------------
+
+    def _tier_flags(self, batch) -> Optional[Dict[str, bool]]:
+        """Memory-tiered gradient freezing (run_train.py:190-198)."""
+        some = "S2" if "S2" in batch else "S1"
+        b, h, w = batch[some].shape[:3]
+        num_pix = b * h * w
+        enc, unet = False, False
+        if num_pix > self.tcfg.limit1:
+            enc, unet = True, False
+            if num_pix > self.tcfg.limit2:
+                enc, unet = True, True
+                if num_pix > self.tcfg.limit3:
+                    return None  # skip sample
+        return {"encoder_no_grad": enc, "unet_no_grad": unet}
+
+    def train_epoch(self) -> Dict[str, float]:
+        stats = defaultdict(float)
+        nlog = 0
+        for i, batch in enumerate(self.feed.epoch(self.info["epoch"])):
+            flags = self._tier_flags(batch)
+            if flags is None:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            dev_batch = {
+                k: batch[k]
+                for k in ("S2", "S1", "admin_mask", "census_idx", "y", "photometric")
+                if k in batch
+            }
+            self.params, self.opt_state, aux = self.step_fn(
+                self.params, self.opt_state, dev_batch, sub, **flags
+            )
+            loss = float(aux["optimization_loss"])
+            if np.isnan(loss):
+                raise FloatingPointError("detected NaN loss..")
+            if np.isinf(loss):
+                raise FloatingPointError("detected Inf loss..")
+
+            self.pred_buffer.add(np.asarray(aux.pop("popcount")))
+            self.target_buffer.add(np.asarray(batch["y"]))
+            for k, v in aux.items():
+                stats[k] += float(v)
+            nlog += 1
+            self.info["iter"] += 1
+            self.info["sampleitr"] += self.tcfg.weak_batch_size
+
+            if (i + 1) % max(1, min(self.tcfg.logstep_train, len(self.feed))) == 0:
+                self.log_train(stats, nlog)
+                stats, nlog = defaultdict(float), 0
+        if nlog:
+            self.log_train(stats, nlog)
+        return stats
+
+    def log_train(self, stats, nlog):
+        out = {k: v / max(nlog, 1) for k, v in stats.items()}
+        import jax.numpy as jnp
+
+        if len(self.pred_buffer.get()) > 1:
+            out["Population_weak/r2"] = float(
+                r2(
+                    jnp.asarray(self.pred_buffer.get()),
+                    jnp.asarray(self.target_buffer.get()),
+                )
+            )
+        self.logger.log({f"{k}/train": v for k, v in out.items()}, self.info["iter"])
+
+    def train(self):
+        for _ in range(self.info["epoch"], self.tcfg.num_epochs):
+            self.train_epoch()
+            if self.tcfg.save_model in ("last", "both"):
+                self.save_model("last")
+            if (self.info["epoch"] + 1) % self.tcfg.val_every_n_epochs == 0:
+                if self.tcfg.weak_validation:
+                    self.validate_weak()
+                self.test_target(save=True)
+            if self.tcfg.lr_gamma != 1.0:
+                lr = step_lr(
+                    self.tcfg.learning_rate,
+                    self.info["epoch"] + 1,
+                    self.tcfg.lr_step,
+                    self.tcfg.lr_gamma,
+                )
+                self.opt_state = set_learning_rate(self.opt_state, lr)
+                self.logger.log({"log_lr": float(np.log10(lr))}, self.info["iter"])
+            self.info["epoch"] += 1
+
+    # -- evaluation ------------------------------------------------------------
+
+    def validate_weak(self) -> Dict[str, float]:
+        out = {}
+        for ds in self.val_datasets:
+            feed = WeaksupFeed(
+                [ds], batch_size=1, bucket_ladder=self.tcfg.bucket_ladder,
+                seed=self.tcfg.seed, augment=False, drop_last=False,
+            )
+            preds, gts = [], []
+            for batch in feed.epoch(0):
+                dev_batch = {
+                    k: batch[k]
+                    for k in ("S2", "S1", "admin_mask", "census_idx")
+                    if k in batch
+                }
+                preds.append(np.asarray(self.eval_popcount(self.params, dev_batch)))
+                gts.append(batch["y"])
+            if not preds:
+                continue
+            pred = np.concatenate(preds)
+            gt = np.concatenate(gts)
+            m = get_test_metrics(
+                pred, gt, tag=f"MainCensus_{ds.region}_{ds.train_level}"
+            )
+            out.update(m)
+        self.logger.log({f"{k}/val": v for k, v in out.items()}, self.info["iter"])
+        return out
+
+    def test_target(self, save: bool = False) -> Dict[str, float]:
+        """In-training sliding-window test (run_train.py:314-370)."""
+        out = {}
+        for ds in self.test_datasets:
+            maps = run_sliding_inference(
+                [self.params], self.consts, self.mcfg, ds,
+                stats=self.stats, batch_size=self.test_patch_batch,
+            )
+            if save:
+                ds.save(maps["map"], self.experiment_folder)
+                if self.mcfg.occupancy_model:
+                    ds.save(
+                        maps["scale"], self.experiment_folder,
+                        tag=f"SCALE_{ds.region}",
+                    )
+            for level in TESTLEVELS.get(ds.region, ["coarse"]):
+                with GeoTIFF(ds.boundary_paths[level]) as g:
+                    boundary = g.read(1, squeeze=True)
+                import pandas as pd
+
+                census = pd.read_csv(ds.census_paths[level])
+                pred_c, gt_c = convert_popmap_to_census(maps["map"], boundary, census)
+                out.update(
+                    get_test_metrics(
+                        pred_c, gt_c, tag=f"MainCensus_{ds.region}_{level}"
+                    )
+                )
+        self.logger.log({f"{k}/targettest": v for k, v in out.items()}, self.info["iter"])
+        return out

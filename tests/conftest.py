@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# A pytest plugin may have imported jax before this conftest ran; the
+# backend is created lazily, so forcing the platform via config still works.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

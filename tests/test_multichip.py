@@ -1,0 +1,122 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh:
+data-parallel train step and patch-sharded inference must match
+single-device results exactly (same math, just distributed)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import reference_available
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() >= 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()} — "
+        "xla_force_host_platform_device_count not applied"
+    )
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, example_args = entry()
+    dense, count = jax.jit(fn)(*example_args)
+    assert dense.shape == (1, 512, 512)
+    assert count.shape == (1,)
+    assert np.isfinite(np.asarray(count)).all()
+
+
+def test_dp_train_step_matches_single_device():
+    """Same batch, same params: mesh-sharded step == single-device step."""
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.dist.mesh import make_mesh, replicated, shard_batch
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    mcfg = ModelConfig(pretrained=False)
+    tcfg = TrainConfig(weak_batch_size=8)
+    params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+
+    rng = np.random.default_rng(0)
+    b, h, w = 8, 64, 64
+    ids = np.tile(np.arange(1, b + 1, dtype=np.float32)[:, None, None], (1, h, w))
+    batch = {
+        "S2": rng.uniform(0, 4000, (b, h, w, 4)).astype(np.float32),
+        "S1": rng.uniform(-25, 0, (b, h, w, 2)).astype(np.float32),
+        "admin_mask": ids,
+        "census_idx": np.arange(1, b + 1, dtype=np.float32),
+        "y": rng.uniform(10, 1000, (b,)).astype(np.float32),
+        "photometric": np.asarray([0.0, 1.0, 0.0, 1.0], np.float32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    p1, _, aux1 = step(params, opt_state, batch, key)
+
+    mesh = make_mesh(8)
+    with mesh:
+        dev_batch = shard_batch(
+            batch, mesh, batch_keys=("S2", "S1", "admin_mask", "census_idx", "y")
+        )
+        rep = replicated(mesh)
+        p2, _, aux2 = step(
+            jax.device_put(params, rep),
+            jax.device_put(opt_state, rep),
+            dev_batch,
+            key,
+        )
+    np.testing.assert_allclose(
+        float(aux1["optimization_loss"]), float(aux2["optimization_loss"]),
+        rtol=1e-5,
+    )
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_inference_matches_single_device(tmp_path):
+    """Patch-sharded ensemble inference over the mesh == single device."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.dist.mesh import make_mesh
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.nn.init import init_popcorn
+
+    paths = make_synthetic_region(str(tmp_path), "rwa", height=192, width=256, seed=5)
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(2), mcfg)
+    members = [params, jax.tree.map(lambda x: x * 1.01, params)]
+
+    ds = PopulationDataset(
+        paths, "rwa", mode="test", patchsize=96, overlap=16, fourseasons=False
+    )
+    single = run_sliding_inference(
+        members, consts, mcfg, ds, batch_size=8
+    )
+    mesh = make_mesh(8)
+    with mesh:
+        sharded = run_sliding_inference(
+            members, consts, mcfg, ds, batch_size=8, mesh=mesh
+        )
+    np.testing.assert_allclose(sharded["map"], single["map"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        sharded["map_std"], single["map_std"], rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_array_equal(sharded["count"], single["count"])
+    ds.close()
