@@ -252,7 +252,8 @@ class ModelConfig:
     feature_extractor: str = "DDA"
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
-    fused_head: bool = False  # use the Pallas fused 1x1-conv head on TPU
+    layout: str = "auto"  # "auto": space-to-depth packed engine when shapes allow
+    fused_head: bool = False  # use the Pallas fused 1x1-conv head (plain layout)
     remat_unet: bool = False  # jax.checkpoint the UNet blocks to save HBM
 
     @property

@@ -54,14 +54,28 @@ def make_patch_forward(
     validity mask so the host does dense adds only.
     """
 
+    import dataclasses
+
+    from ..nn.popcorn import create_building_score
+
+    # All ensemble members share the same frozen building extractor, so the
+    # building score is computed ONCE per patch (the reference recomputes it
+    # inside every member forward, run_eval.py:108-115 via popcorn.py:112-115
+    # — identical result, 5x the compute). Members are then folded with
+    # lax.scan, keeping single-member activation memory on HBM instead of
+    # vmapping all members' activations simultaneously.
+    mcfg_member = dataclasses.replace(mcfg, sentinel_buildings=False)
+    dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None
+
     def member_forward(params, inputs):
         out = popcorn_forward(
-            params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+            params, consts, inputs, mcfg_member,
+            train=False, padding=False, sparse=False,
         )
         scale = out["scale"]
         if scale is None:
             scale = jnp.zeros_like(out["popdensemap"])
-        return out["popdensemap"], scale
+        return out["popdensemap"].astype(jnp.float32), scale.astype(jnp.float32)
 
     def fn(stacked_params, batch):
         sample = {}
@@ -69,20 +83,35 @@ def make_patch_forward(
             sample["S2"] = batch["S2"]
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
-        inputs = {"input": normalize_and_assemble(sample, stats)}
-        dense, scale = jax.vmap(member_forward, in_axes=(0, None))(
-            stacked_params, inputs
-        )  # (M,B,H,W)
-        dense = dense.astype(jnp.float32)
-        scale = scale.astype(jnp.float32)
+        x = normalize_and_assemble(sample, stats)
+        if mcfg.sentinel_buildings or not mcfg.occupancy_model:
+            score = create_building_score(
+                consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                dtype=dtype,
+            )
+        else:
+            score = batch["building_counts"]
+        inputs = {"input": x, "building_counts": score}
+
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        zeros = jnp.zeros((b, h, w), jnp.float32)
+
+        def body(carry, params):
+            ds, dsq, ss, ssq = carry
+            dense, scale = member_forward(params, inputs)
+            return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
+
+        (ds, dsq, ss, ssq), _ = jax.lax.scan(
+            body, (zeros, zeros, zeros, zeros), stacked_params
+        )
         mask = batch["mask"].astype(jnp.float32)  # (B,H,W)
         valid = batch["valid"].astype(jnp.float32)[:, None, None]
         m = mask * valid
         return {
-            "dense_sum": jnp.sum(dense, 0) * m,
-            "dense_sq": jnp.sum(dense**2, 0) * m,
-            "scale_sum": jnp.sum(scale, 0) * m,
-            "scale_sq": jnp.sum(scale**2, 0) * m,
+            "dense_sum": ds * m,
+            "dense_sq": dsq * m,
+            "scale_sum": ss * m,
+            "scale_sq": ssq * m,
             "count": m * n_members,
         }
 

@@ -99,18 +99,33 @@ def create_building_score(
     s2: bool,
     nir: bool,
     dtype=None,
+    layout: str = "auto",
 ) -> jnp.ndarray:
     """On-the-fly built-up probability (model/popcorn.py:279-322).
 
     Reflect-pads 14px, runs the frozen building-extractor UNet, sigmoid,
     unpads. Always under stop_gradient (reference runs it in no_grad).
+    When the padded shape is 4-divisible the packed space-to-depth engine
+    is used (see nn.packed) — identical numerics, ~an order of magnitude
+    less HBM traffic.
     """
     xp, pad = add_padding(x_input, force=True)
     x6 = reorder_to_dda(xp, s1=s1, s2=s2, nir=nir)
-    logits = building_logits(
-        builder["params"], builder["bn"], x6, s1=s1, s2=s2, dtype=dtype
-    )
-    score = jax.nn.sigmoid(logits.astype(jnp.float32))
+    hp, wp = x6.shape[1], x6.shape[2]
+    from .packed import choose_pack_factor, packed_building_logits, unpack
+
+    f = choose_pack_factor(hp, wp) if layout != "plain" else 1
+    if f > 1:
+        logits_p = packed_building_logits(
+            builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype
+        )
+        score_p = jax.nn.sigmoid(logits_p.astype(jnp.float32))
+        score = unpack(score_p, f, 1)
+    else:
+        logits = building_logits(
+            builder["params"], builder["bn"], x6, s1=s1, s2=s2, dtype=dtype
+        )
+        score = jax.nn.sigmoid(logits.astype(jnp.float32))
     return lax.stop_gradient(revert_padding(score, pad))
 
 
@@ -176,11 +191,14 @@ def popcorn_forward(
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     x = inputs["input"]
 
+    layout = getattr(cfg, "layout", "auto")
+
     # Building score: computed on the fly when absent or sentinel_buildings
     # (model/popcorn.py:112-115).
     if "building_counts" not in inputs or cfg.sentinel_buildings:
         building_counts = create_building_score(
-            consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir, dtype=dtype
+            consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir,
+            dtype=dtype, layout=layout,
         )
     else:
         building_counts = inputs["building_counts"]
@@ -197,25 +215,53 @@ def popcorn_forward(
             occupancy=cfg.occupancy_model,
         )
 
-    # Main feature extractor.
+    # Main feature extractor + head.
     xp, pad = add_padding(x, force=padding)
     x6 = reorder_to_dda(xp, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir)
-    feats = dual_stream_features(
-        params["unet"],
-        consts["unet_bn"],
-        x6,
-        s1=cfg.s1,
-        s2=cfg.s2,
-        encoder_stop_grad=encoder_no_grad,
-        dtype=dtype,
-        remat=cfg.remat_unet and train,
-    )
-    if unet_no_grad:
-        feats = lax.stop_gradient(feats)
-    feats = revert_padding(feats, pad)
 
-    out = head_apply(params["head"], feats, dtype, fused=cfg.fused_head)[..., 0]
-    out = out.astype(jnp.float32)
+    from .packed import (
+        choose_pack_factor,
+        packed_dual_stream_features,
+        packed_head_apply,
+        unpack,
+    )
+
+    hp, wp = x6.shape[1], x6.shape[2]
+    f = (
+        choose_pack_factor(hp, wp)
+        if (layout != "plain" and pad == (None, None, None, None))
+        else 1
+    )
+    if f > 1:
+        # packed fast path: features and head stay in space-to-depth layout,
+        # only the scalar channel-0 map is unpacked at the end.
+        feats_p = packed_dual_stream_features(
+            params["unet"], consts["unet_bn"], x6, f,
+            s1=cfg.s1, s2=cfg.s2,
+            encoder_stop_grad=encoder_no_grad, dtype=dtype,
+        )
+        if unet_no_grad:
+            feats_p = lax.stop_gradient(feats_p)
+        out_p = packed_head_apply(
+            params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
+        )
+        out = unpack(out_p, f, 1)[..., 0].astype(jnp.float32)
+    else:
+        feats = dual_stream_features(
+            params["unet"],
+            consts["unet_bn"],
+            x6,
+            s1=cfg.s1,
+            s2=cfg.s2,
+            encoder_stop_grad=encoder_no_grad,
+            dtype=dtype,
+            remat=cfg.remat_unet and train,
+        )
+        if unet_no_grad:
+            feats = lax.stop_gradient(feats)
+        feats = revert_padding(feats, pad)
+        out = head_apply(params["head"], feats, dtype, fused=cfg.fused_head)[..., 0]
+        out = out.astype(jnp.float32)
 
     if cfg.occupancy_model:
         scale = jax.nn.relu(out)
