@@ -30,6 +30,11 @@ def log(msg):
 
 def main():
     import jax
+
+    # persistent compile cache: the packed-engine graphs are compile-heavy
+    # through the remote-compile tunnel; cache them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from popcorn_tpu.config import ModelConfig, find_dda_checkpoint

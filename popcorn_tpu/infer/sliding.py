@@ -77,7 +77,8 @@ def make_patch_forward(
             scale = jnp.zeros_like(out["popdensemap"])
         return out["popdensemap"].astype(jnp.float32), scale.astype(jnp.float32)
 
-    def fn(stacked_params, batch):
+    def prep(batch):
+        """Normalize + building score: one jit (compiled once per shape)."""
         sample = {}
         if mcfg.s2 and "S2" in batch:
             sample["S2"] = batch["S2"]
@@ -91,8 +92,16 @@ def make_patch_forward(
             )
         else:
             score = batch["building_counts"]
-        inputs = {"input": x, "building_counts": score}
+        return x, score
 
+    def members(stacked_params, x, score, mask, valid):
+        """Member fold + masking: a second, separately-compiled jit.
+
+        Splitting prep/members keeps each XLA module small enough to
+        compile quickly through the remote-compile tunnel; the extra
+        dispatch is ~30 ms per batch.
+        """
+        inputs = {"input": x, "building_counts": score}
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
         zeros = jnp.zeros((b, h, w), jnp.float32)
 
@@ -104,9 +113,7 @@ def make_patch_forward(
         (ds, dsq, ss, ssq), _ = jax.lax.scan(
             body, (zeros, zeros, zeros, zeros), stacked_params
         )
-        mask = batch["mask"].astype(jnp.float32)  # (B,H,W)
-        valid = batch["valid"].astype(jnp.float32)[:, None, None]
-        m = mask * valid
+        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
         return {
             "dense_sum": ds * m,
             "dense_sq": dsq * m,
@@ -115,17 +122,31 @@ def make_patch_forward(
             "count": m * n_members,
         }
 
+    def fn_factory(prep_j, members_j):
+        def fn(stacked_params, batch):
+            x, score = prep_j(
+                {k: batch[k] for k in ("S2", "S1", "building_counts") if k in batch}
+            )
+            return members_j(stacked_params, x, score, batch["mask"], batch["valid"])
+
+        return fn
+
     if mesh is not None:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
-        keys = ["mask", "valid"]
+        keys = []
         if mcfg.s2:
             keys.append("S2")
         if mcfg.s1:
             keys.append("S1")
-        in_shardings = (rep, {k: bs for k in keys})
-        return jax.jit(fn, in_shardings=in_shardings, out_shardings=bs)
-    return jax.jit(fn)
+        prep_j = jax.jit(prep, in_shardings=({k: bs for k in keys},), out_shardings=bs)
+        members_j = jax.jit(
+            members,
+            in_shardings=(rep, bs, bs, bs, bs),
+            out_shardings=bs,
+        )
+        return fn_factory(prep_j, members_j)
+    return fn_factory(jax.jit(prep), jax.jit(members))
 
 
 class StitchAccumulators:
