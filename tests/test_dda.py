@@ -1,0 +1,139 @@
+"""DDA subsystem tests: losses vs torch formulas, multi-threshold metrics,
+trainable-BN network, consistency trainer end-to-end, POPCORN export."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from popcorn_tpu.dda import losses as L
+from popcorn_tpu.dda.metrics import MultiThresholdMetric, f1_score, morphology_metrics
+from popcorn_tpu.dda.datasets import (
+    TilesInferenceDataset,
+    UrbanExtractionDataset,
+    labeled_unlabeled_batches,
+    make_synthetic_dda_manifest,
+)
+from popcorn_tpu.dda.network import (
+    dual_stream_train_forward,
+    init_bn,
+    to_frozen_consts,
+)
+from popcorn_tpu.dda.train import DDAConfig, DDATrainer
+
+
+def test_losses_match_torch(rng):
+    torch = pytest.importorskip("torch")
+
+    logits = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    y = (rng.random((2, 8, 8, 1)) > 0.7).astype(np.float32)
+    tl = torch.from_numpy(logits)
+    ty = torch.from_numpy(y)
+
+    # soft dice (reference loss_functions.py:40-48)
+    p = torch.sigmoid(tl).flatten()
+    t = ty.flatten()
+    inter = (p * t).sum()
+    ref = 1 - ((2 * inter + 1e-6) / (p.sum() + t.sum() + 1e-6))
+    assert abs(float(L.soft_dice_loss(jnp.asarray(logits), jnp.asarray(y))) - ref.item()) < 1e-5
+
+    # power jaccard (:143-153)
+    denom = (p**2 + t**2).sum() - inter + 1e-6
+    ref = 1 - inter / denom
+    assert abs(float(L.power_jaccard_loss(jnp.asarray(logits), jnp.asarray(y))) - ref.item()) < 1e-5
+
+    # iou loss (:156-165)
+    union = (p + t).sum() - inter + 1e-6
+    ref = 1 - inter / union
+    assert abs(float(L.iou_loss(jnp.asarray(logits), jnp.asarray(y))) - ref.item()) < 1e-5
+
+    # bce
+    ref = torch.nn.functional.binary_cross_entropy_with_logits(tl, ty)
+    assert abs(float(L.bce_with_logits(jnp.asarray(logits), jnp.asarray(y))) - ref.item()) < 1e-5
+
+    for name in L._CRITERIA:
+        fn = L.get_criterion(name)
+        assert callable(fn)
+
+
+def test_multithreshold_metric():
+    y_true = np.array([[1, 1, 0, 0]])
+    y_prob = np.array([[0.9, 0.4, 0.6, 0.1]])
+    m = MultiThresholdMetric(np.array([0.5]))
+    m.add_sample(y_true, y_prob)
+    # TP=1 (0.9), FN=1 (0.4), FP=1 (0.6), TN=1 — standard (not swapped) defs
+    assert m.TP[0] == 1 and m.FN[0] == 1 and m.FP[0] == 1 and m.TN[0] == 1
+    assert abs(m.precision[0] - 0.5) < 1e-6
+    assert abs(m.recall[0] - 0.5) < 1e-6
+    assert abs(m.f1()[0] - 0.5) < 1e-6
+    assert f1_score(y_true, y_prob) == pytest.approx(0.5)
+    sweep = MultiThresholdMetric(np.linspace(0, 1, 11))
+    sweep.add_sample(y_true, y_prob)
+    assert sweep.best()["f1"] == pytest.approx(0.8)  # thr in (0.1,0.4]: TP=2,FP=1
+
+
+def test_morphology_metrics():
+    t = np.zeros((20, 20))
+    t[5:15, 5:15] = 1
+    out = morphology_metrics(t, t)
+    assert out["iou"] == 1.0 and out["hausdorff"] == 0.0
+    out2 = morphology_metrics(t, np.roll(t, 2, axis=0))
+    assert 0 < out2["iou"] < 1
+
+
+def test_bn_train_eval_semantics(rng):
+    from popcorn_tpu.dda.network import batch_norm
+
+    bp = {"gamma": jnp.full((4,), 2.0), "beta": jnp.full((4,), 1.0)}
+    bs = {"mean": jnp.zeros(4), "var": jnp.ones(4)}
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32)) * 3 + 5
+    y, new = batch_norm(x, bp, bs, train=True)
+    # normalized output: per-channel mean ~1 (beta), std ~2 (gamma)
+    np.testing.assert_allclose(np.asarray(y).mean((0, 1, 2)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y).std((0, 1, 2)), 2.0, atol=1e-2)
+    # running stats moved toward batch stats (momentum 0.1)
+    assert np.all(np.asarray(new["mean"]) > 0.4)
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dda_data"))
+    return make_synthetic_dda_manifest(root, n_labeled=6, n_unlabeled=4, size=32)
+
+
+def test_dataset_and_sampler(manifest, rng):
+    ds = UrbanExtractionDataset(manifest)
+    assert len(ds.labeled_idx) == 6 and len(ds.unlabeled_idx) == 4
+    it = ds[ds.labeled_idx[0]]
+    assert it["x"].shape == (32, 32, 6) and it["y"].shape == (32, 32)
+    batches = list(
+        labeled_unlabeled_batches(
+            ds, np.random.default_rng(0), labeled_per_batch=2, unlabeled_per_batch=2
+        )
+    )
+    assert len(batches) == 3
+    lab, unl = batches[0]
+    assert lab["x"].shape == (2, 32, 32, 6) and unl["x"].shape == (2, 32, 32, 6)
+    tiles = TilesInferenceDataset(manifest, site="a")
+    assert len(tiles) == 5
+
+
+def test_dda_training_learns(manifest):
+    cfg = DDAConfig(epochs=4, labeled_per_batch=3, unlabeled_per_batch=2, lr=3e-3)
+    tr = DDATrainer(manifest, cfg)
+    l0 = tr.train_epoch()
+    for _ in range(3):
+        l1 = tr.train_epoch()
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0, f"loss did not improve: {l0} -> {l1}"
+    ev = tr.evaluate(np.linspace(0.1, 0.9, 9))
+    assert 0 <= ev["f1"] <= 1
+
+    # export feeds the POPCORN extractor path
+    params, consts_bn = tr.export_for_popcorn()
+    from popcorn_tpu.nn.unet import dual_stream_features
+
+    x = jnp.zeros((1, 32, 32, 6), jnp.float32)
+    feats = dual_stream_features(params, consts_bn, x)
+    assert feats.shape == (1, 32, 32, 16)
