@@ -1,21 +1,37 @@
 import time, numpy as np, jax, jax.numpy as jnp
-from popcorn_tpu.compat.torch_convert import load_dda_tree
-from popcorn_tpu.nn import packed as pk
-from popcorn_tpu.nn.init import init_head
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from popcorn_tpu.config import ModelConfig, TrainConfig
+from popcorn_tpu.compat.torch_convert import load_popcorn_from_dda
+from popcorn_tpu.data.normalize import NormStats
+from popcorn_tpu.train.state import make_optimizer, make_train_step
 
-params, bn = load_dda_tree()
-x = jnp.asarray(np.random.default_rng(0).standard_normal((1,2048,2048,6)).astype(np.float32))
-BF = jnp.bfloat16
+mcfg = ModelConfig(pretrained=True, compute_dtype="bfloat16")
+tcfg = TrainConfig()
+params, consts = load_popcorn_from_dda(mcfg)
+opt = make_optimizer(tcfg)
+opt_state = opt.init(params)
+step = make_train_step(mcfg, tcfg, consts, NormStats(), opt)
 
-def t(name, f, *a):
-    t0=time.time(); s=float(jnp.sum(f(*a))); c=time.time()-t0
+rng = np.random.default_rng(0)
+for B,H,W in [(2,1024,1024),(2,2048,2048)]:
+    ids = np.ones((B,H,W), np.float32)
+    batch = {
+        "S2": rng.uniform(0,4000,(B,H,W,4)).astype(np.float32),
+        "S1": rng.uniform(-25,0,(B,H,W,2)).astype(np.float32),
+        "admin_mask": ids, "census_idx": np.ones(B, np.float32),
+        "y": rng.uniform(10,1000,(B,)).astype(np.float32),
+        "photometric": np.asarray([1.0,1.2,1.0,0.9], np.float32),
+    }
+    key = jax.random.PRNGKey(0)
     t0=time.time()
-    for _ in range(3): s=float(jnp.sum(f(*a)))
-    print(f"{name}: compile {c:.1f}s, run {(time.time()-t0)/3*1000:.1f} ms", flush=True)
-
-feats_fn = jax.jit(lambda x: pk.packed_dual_stream_features(params, bn, x, 4, dtype=BF))
-t("packed dual features 2048", feats_fn, x)
-feats = feats_fn(x)
-head = init_head(jax.random.PRNGKey(0))
-t("packed head", jax.jit(lambda f_: pk.packed_head_apply(head, f_, 4, BF)), feats)
-t("packed builder logits (2076 pad)", jax.jit(lambda x: pk.packed_building_logits(params, bn, jnp.pad(x, ((0,0),(14,14),(14,14),(0,0)), mode='reflect'), 4, dtype=BF)), x)
+    p2, os2, aux = step(params, opt_state, batch, key)
+    jax.block_until_ready(p2)
+    print(f"train step {B}x{H}: compile+run {time.time()-t0:.1f}s", flush=True)
+    t0=time.time(); n=5
+    for _ in range(n):
+        p2, os2, aux = step(params, opt_state, batch, key)
+    jax.block_until_ready(p2)
+    dt=(time.time()-t0)/n
+    mpix = B*H*W/1e6
+    print(f"train step {B}x{H}x{W}: {dt*1000:.0f} ms -> {mpix/dt:.1f} Mpix/s fwd+bwd", flush=True)

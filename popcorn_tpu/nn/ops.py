@@ -30,7 +30,10 @@ def conv3x3(x: jnp.ndarray, p: Params, dtype=None) -> jnp.ndarray:
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=_CONV_DIMS,
-        preferred_element_type=jnp.float32,
+        # bf16 mode: output in bf16 (MXU accumulates f32 internally); the
+        # AD transpose rule requires cotangent/operand dtypes to match, so
+        # explicit f32 accumulation is only used in the f32 (parity) mode.
+        preferred_element_type=None if dtype is not None else jnp.float32,
         precision=None if dtype is not None else lax.Precision.HIGHEST,
     )
     return y + p["b"].astype(y.dtype)
@@ -46,7 +49,10 @@ def conv1x1(x: jnp.ndarray, p: Params, dtype=None) -> jnp.ndarray:
         "bhwc,co->bhwo",
         x,
         w,
-        preferred_element_type=jnp.float32,
+        # bf16 mode: output in bf16 (MXU accumulates f32 internally); the
+        # AD transpose rule requires cotangent/operand dtypes to match, so
+        # explicit f32 accumulation is only used in the f32 (parity) mode.
+        preferred_element_type=None if dtype is not None else jnp.float32,
         precision=None if dtype is not None else lax.Precision.HIGHEST,
     )
     return y + p["b"].astype(y.dtype)
@@ -98,7 +104,10 @@ def conv_transpose_2x2(x: jnp.ndarray, p: Params, dtype=None) -> jnp.ndarray:
         "bhwc,cijo->bhwijo",
         x,
         w,
-        preferred_element_type=jnp.float32,
+        # bf16 mode: output in bf16 (MXU accumulates f32 internally); the
+        # AD transpose rule requires cotangent/operand dtypes to match, so
+        # explicit f32 accumulation is only used in the f32 (parity) mode.
+        preferred_element_type=None if dtype is not None else jnp.float32,
         precision=None if dtype is not None else lax.Precision.HIGHEST,
     )
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wi, cout)

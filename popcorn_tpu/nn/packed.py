@@ -181,7 +181,10 @@ def conv_packed(x: jnp.ndarray, wp: jnp.ndarray, dtype=None) -> jnp.ndarray:
         (1, 1),
         ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        # bf16 mode: output in bf16 (MXU accumulates f32 internally); the
+        # AD transpose rule requires cotangent/operand dtypes to match, so
+        # explicit f32 accumulation is only used in the f32 (parity) mode.
+        preferred_element_type=None if dtype is not None else jnp.float32,
         precision=None if dtype is not None else lax.Precision.HIGHEST,
     )
 
@@ -194,7 +197,10 @@ def matmul_lanes(x: jnp.ndarray, m: jnp.ndarray, dtype=None) -> jnp.ndarray:
         "bhwc,co->bhwo",
         x,
         m,
-        preferred_element_type=jnp.float32,
+        # bf16 mode: output in bf16 (MXU accumulates f32 internally); the
+        # AD transpose rule requires cotangent/operand dtypes to match, so
+        # explicit f32 accumulation is only used in the f32 (parity) mode.
+        preferred_element_type=None if dtype is not None else jnp.float32,
         precision=None if dtype is not None else lax.Precision.HIGHEST,
     )
 
