@@ -12,26 +12,22 @@ params, consts = load_popcorn_from_dda(mcfg)
 opt = make_optimizer(tcfg)
 opt_state = opt.init(params)
 step = make_train_step(mcfg, tcfg, consts, NormStats(), opt)
-
 rng = np.random.default_rng(0)
-for B,H,W in [(2,1024,1024),(2,2048,2048)]:
-    ids = np.ones((B,H,W), np.float32)
-    batch = {
-        "S2": rng.uniform(0,4000,(B,H,W,4)).astype(np.float32),
-        "S1": rng.uniform(-25,0,(B,H,W,2)).astype(np.float32),
-        "admin_mask": ids, "census_idx": np.ones(B, np.float32),
-        "y": rng.uniform(10,1000,(B,)).astype(np.float32),
-        "photometric": np.asarray([1.0,1.2,1.0,0.9], np.float32),
-    }
-    key = jax.random.PRNGKey(0)
-    t0=time.time()
-    p2, os2, aux = step(params, opt_state, batch, key)
-    jax.block_until_ready(p2)
-    print(f"train step {B}x{H}: compile+run {time.time()-t0:.1f}s", flush=True)
-    t0=time.time(); n=5
-    for _ in range(n):
-        p2, os2, aux = step(params, opt_state, batch, key)
-    jax.block_until_ready(p2)
-    dt=(time.time()-t0)/n
-    mpix = B*H*W/1e6
-    print(f"train step {B}x{H}x{W}: {dt*1000:.0f} ms -> {mpix/dt:.1f} Mpix/s fwd+bwd", flush=True)
+key = jax.random.PRNGKey(0)
+B,H,W = 2,2048,2048
+batch = {
+    "S2": jax.device_put(rng.uniform(0,4000,(B,H,W,4)).astype(np.float32)),
+    "S1": jax.device_put(rng.uniform(-25,0,(B,H,W,2)).astype(np.float32)),
+    "admin_mask": jax.device_put(np.ones((B,H,W), np.float32)),
+    "census_idx": jax.device_put(np.ones(B, np.float32)),
+    "y": jax.device_put(rng.uniform(10,1000,(B,)).astype(np.float32)),
+    "photometric": jax.device_put(np.asarray([1.0,1.2,1.0,0.9], np.float32)),
+}
+t0=time.time()
+p2, os2, aux = step(params, opt_state, batch, key)
+print("compile+run", time.time()-t0, flush=True)
+t0=time.time(); n=5
+for _ in range(n):
+    p2, os2, aux = step(p2, os2, batch, key)
+loss=float(aux["optimization_loss"])
+print(f"full step device-resident: {(time.time()-t0)/n*1000:.0f} ms, loss {loss:.2f}", flush=True)

@@ -229,6 +229,9 @@ def run_sliding_inference(
         dev_batch = {
             k: batch[k] for k in ("S2", "S1", "mask", "valid") if k in batch
         }
+        if mesh is None:
+            # explicit bulk transfer (jit's implicit conversion is slow)
+            dev_batch = jax.device_put(dev_batch)
         res = fwd(stacked, dev_batch)
         res = {k: np.asarray(v) for k, v in res.items()}
         for b in range(len(batch["valid"])):

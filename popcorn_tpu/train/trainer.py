@@ -191,6 +191,9 @@ class Trainer:
                 for k in ("S2", "S1", "admin_mask", "census_idx", "y", "photometric")
                 if k in batch
             }
+            # explicit device_put: jit's implicit host->device conversion is
+            # far slower than a bulk transfer (measured ~10x on the tunnel)
+            dev_batch = jax.device_put(dev_batch)
             self.params, self.opt_state, aux = self.step_fn(
                 self.params, self.opt_state, dev_batch, sub, **flags
             )
@@ -259,11 +262,13 @@ class Trainer:
             )
             preds, gts = [], []
             for batch in feed.epoch(0):
-                dev_batch = {
-                    k: batch[k]
-                    for k in ("S2", "S1", "admin_mask", "census_idx")
-                    if k in batch
-                }
+                dev_batch = jax.device_put(
+                    {
+                        k: batch[k]
+                        for k in ("S2", "S1", "admin_mask", "census_idx")
+                        if k in batch
+                    }
+                )
                 preds.append(np.asarray(self.eval_popcount(self.params, dev_batch)))
                 gts.append(batch["y"])
             if not preds:
