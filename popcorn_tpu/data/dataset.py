@@ -193,6 +193,12 @@ class PopulationDataset:
         self.train_level = train_level
         self.sentinelbuildings = sentinelbuildings
 
+        if region not in DATALOCATIONS:
+            raise ValueError(
+                f"unknown region {region!r}; registered regions: "
+                f"{sorted(DATALOCATIONS)} (extend popcorn_tpu.config.DATALOCATIONS "
+                "to add one)"
+            )
         self.levels = list(DATALOCATIONS[region].keys())
         self.boundary_paths = {
             lvl: paths.boundary_path(region, lvl) for lvl in self.levels

@@ -36,6 +36,8 @@ from .sliding import run_sliding_inference
 
 def load_member(path: str):
     """Load one ensemble member: an Orbax dir (ours) or a torch .pth."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No checkpoint found at '{path}'")
     if path.endswith(".pth") or path.endswith(".pt"):
         params, consts = load_popcorn_checkpoint(path)
         return params, consts

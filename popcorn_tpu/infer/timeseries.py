@@ -80,10 +80,10 @@ def _make_score_fn(consts: Tree, mcfg: ModelConfig, stats: NormStats):
         inputs = {"S2": s2, "S1": s1}
         x = normalize_and_assemble(inputs, stats)
         dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None
-        score = create_building_score(
+        # create_building_score returns a 3-D (B,H,W) scalar map
+        return create_building_score(
             consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, dtype=dtype
         )
-        return score[..., 0]
 
     return fn
 

@@ -77,6 +77,21 @@ def unpack(x: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * f, wp * f, c)
 
 
+def unpack_scalar(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Packed single-channel map (B,Hp,Wp,f*f) -> (B,H,W) 3-D.
+
+    Critical for performance: a (B,H,W,1) 4-D array puts the size-1
+    channel in the minor (lane) dimension and gets padded to 128 lanes —
+    a 2048^2 float32 score would occupy ~2 GB of HBM. The 3-D form keeps
+    W minor (no padding).
+    """
+    if f == 1:
+        return x[..., 0]
+    b, hp, wp, _ = x.shape
+    x = x.reshape(b, hp, wp, f, f)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, hp * f, wp * f)
+
+
 def unpack_np(x: np.ndarray, f: int, c: int) -> np.ndarray:
     """Host-side unpack (numpy), used after device->host transfers."""
     if f == 1:

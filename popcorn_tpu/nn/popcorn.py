@@ -112,21 +112,22 @@ def create_building_score(
     xp, pad = add_padding(x_input, force=True)
     x6 = reorder_to_dda(xp, s1=s1, s2=s2, nir=nir)
     hp, wp = x6.shape[1], x6.shape[2]
-    from .packed import choose_pack_factor, packed_building_logits, unpack
+    from .packed import choose_pack_factor, packed_building_logits, unpack_scalar
 
     f = choose_pack_factor(hp, wp) if layout != "plain" else 1
     if f > 1:
         logits_p = packed_building_logits(
             builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype
         )
-        score_p = jax.nn.sigmoid(logits_p.astype(jnp.float32))
-        score = unpack(score_p, f, 1)
+        score3 = unpack_scalar(jax.nn.sigmoid(logits_p.astype(jnp.float32)), f)
     else:
         logits = building_logits(
             builder["params"], builder["bn"], x6, s1=s1, s2=s2, dtype=dtype
         )
-        score = jax.nn.sigmoid(logits.astype(jnp.float32))
-    return lax.stop_gradient(revert_padding(score, pad))
+        # 3-D scalar map (lanes = W): a (B,H,W,1) layout would lane-pad 128x
+        score3 = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+    score3 = revert_padding(score3[..., None], pad)[..., 0]
+    return lax.stop_gradient(score3)
 
 
 def sparsity_mask(
@@ -145,8 +146,10 @@ def sparsity_mask(
     to the full admin region if the whole batch mask is empty.
     """
     admin_sel = admin_mask == census_idx[:, None, None]
+    if building_counts is not None and building_counts.ndim == 4:
+        building_counts = building_counts[..., 0]
     if occupancy:
-        m = (building_counts[..., 0] > 0) & admin_sel
+        m = (building_counts > 0) & admin_sel
     else:
         m = admin_sel
     _, h, w = m.shape
@@ -181,7 +184,7 @@ def popcorn_forward(
     consts: {'unet_bn': BN constants, 'builder': {'params','bn'} frozen
              building extractor}
     inputs: {'input': (B,H,W,C) normalized modality concat,
-             optional 'building_counts': (B,H,W,1),
+             optional 'building_counts': (B,H,W) or (B,H,W,1),
              optional 'admin_mask': (B,H,W), 'census_idx': (B,)}
 
     Returns {'popcount': (B,), 'popdensemap': (B,H,W),
@@ -202,6 +205,8 @@ def popcorn_forward(
         )
     else:
         building_counts = inputs["building_counts"]
+        if building_counts.ndim == 4:
+            building_counts = building_counts[..., 0]
 
     mask = None
     if sparse:
@@ -223,7 +228,7 @@ def popcorn_forward(
         choose_pack_factor,
         packed_dual_stream_features,
         packed_head_apply,
-        unpack,
+        unpack_scalar,
     )
 
     hp, wp = x6.shape[1], x6.shape[2]
@@ -245,7 +250,7 @@ def popcorn_forward(
         out_p = packed_head_apply(
             params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
         )
-        out = unpack(out_p, f, 1)[..., 0].astype(jnp.float32)
+        out = unpack_scalar(out_p, f).astype(jnp.float32)
     else:
         feats = dual_stream_features(
             params["unet"],
@@ -265,7 +270,7 @@ def popcorn_forward(
 
     if cfg.occupancy_model:
         scale = jax.nn.relu(out)
-        popdensemap = scale * building_counts[..., 0].astype(jnp.float32)
+        popdensemap = scale * building_counts.astype(jnp.float32)
     else:
         scale = None
         popdensemap = jax.nn.relu(out)

@@ -58,7 +58,7 @@ def test_building_score_vs_oracle(rng):
     score = np.asarray(
         create_building_score(builder, jnp.asarray(x), s1=True, s2=True, nir=True)
     )
-    assert score.shape == (1, 60, 76, 1)
+    assert score.shape == (1, 60, 76)
 
     # oracle path: pad reflect 14, reorder, fusion logits, sigmoid, unpad
     xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
@@ -68,7 +68,7 @@ def test_building_score_vs_oracle(rng):
         _, _, logits, _, _ = net(xt, alpha=0, return_features=False, S1=True, S2=True)
         ref = torch.sigmoid(logits)[:, :, 14:-14, 14:-14].numpy()
     np.testing.assert_allclose(
-        score, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-3, atol=1e-5
+        score, np.transpose(ref, (0, 2, 3, 1))[..., 0], rtol=1e-3, atol=1e-5
     )
 
 
@@ -93,7 +93,7 @@ def test_forward_occupancy_popcount(model, rng):
     out = popcorn_forward(params, consts, inputs, mcfg, padding=False)
     dense = np.asarray(out["popdensemap"])
     scale = np.asarray(out["scale"])
-    bc = np.asarray(out["building_counts"])[..., 0]
+    bc = np.asarray(out["building_counts"])
     assert (scale >= 0).all()
     np.testing.assert_allclose(dense, scale * bc, rtol=1e-6)
     # popcount = sum over own admin region
