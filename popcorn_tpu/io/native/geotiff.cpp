@@ -663,6 +663,40 @@ struct Reader {
     }
   }
 
+  // dtype-specialised strided row conversion: one branch per row instead of
+  // one switch per pixel (the per-pixel form dominated windowed-read time).
+  template <typename T>
+  static void copy_row_t(float* dst, const uint8_t* src, int64_t n,
+                         size_t stride_bytes) {
+    for (int64_t i = 0; i < n; ++i) {
+      T v;
+      memcpy(&v, src, sizeof(T));
+      dst[i] = (float)v;
+      src += stride_bytes;
+    }
+  }
+
+  inline void copy_row(float* dst, const uint8_t* src, int64_t n,
+                       size_t stride_bytes) const {
+    switch (dtype) {
+      case DT_U8: copy_row_t<uint8_t>(dst, src, n, stride_bytes); break;
+      case DT_I8: copy_row_t<int8_t>(dst, src, n, stride_bytes); break;
+      case DT_U16: copy_row_t<uint16_t>(dst, src, n, stride_bytes); break;
+      case DT_I16: copy_row_t<int16_t>(dst, src, n, stride_bytes); break;
+      case DT_U32: copy_row_t<uint32_t>(dst, src, n, stride_bytes); break;
+      case DT_I32: copy_row_t<int32_t>(dst, src, n, stride_bytes); break;
+      case DT_F32:
+        if (stride_bytes == 4) {
+          memcpy(dst, src, (size_t)n * 4);
+        } else {
+          copy_row_t<float>(dst, src, n, stride_bytes);
+        }
+        break;
+      case DT_F64: copy_row_t<double>(dst, src, n, stride_bytes); break;
+      default: break;
+    }
+  }
+
   // Windowed read of `nbands` 1-based band indices into out[b][h][w] float32.
   bool read_window(const int* bands, int nbands, int64_t x0, int64_t y0,
                    int64_t win_w, int64_t win_h, float* out, Err& err) {
@@ -727,10 +761,7 @@ struct Reader {
               float* orow = out + ((size_t)b * win_h + (y - y0)) * win_w + (ix0 - x0);
               const uint8_t* src =
                   row + ((size_t)(ix0 - gx0) * comps + comp) * sample_bytes;
-              for (int64_t x = ix0; x < ix1; ++x) {
-                *orow++ = to_f32(src);
-                src += comps * sample_bytes;
-              }
+              copy_row(orow, src, ix1 - ix0, comps * sample_bytes);
             }
           }
         }
@@ -773,10 +804,7 @@ struct Reader {
             int comp = planar == 1 ? bands[b] - 1 : 0;
             float* orow = out + ((size_t)b * win_h + (y - y0)) * win_w;
             const uint8_t* src = row + ((size_t)x0 * comps + comp) * sample_bytes;
-            for (int64_t x = 0; x < win_w; ++x) {
-              *orow++ = to_f32(src);
-              src += comps * sample_bytes;
-            }
+            copy_row(orow, src, win_w, comps * sample_bytes);
           }
         }
       }
