@@ -170,7 +170,6 @@ def lift_tconv(w: jnp.ndarray, f_out: int) -> jnp.ndarray:
     """
     f_in = f_out // 2
     cin, cout = w.shape[0], w.shape[3]
-    wp = np.zeros((f_in * f_in, f_out * f_out), np.float32)  # mask template
     out = jnp.zeros((f_in * f_in * cin, f_out * f_out * cout), w.dtype)
     for oy in range(f_out):
         for ox in range(f_out):
