@@ -36,6 +36,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no_fused_head", dest="fused_head", action="store_false")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices on the 'data' mesh axis")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax.debug_nans: raise at the op that produced a NaN "
+                        "(the reference's torch.autograd.set_detect_anomaly)")
 
 
 def train_parser() -> argparse.ArgumentParser:

@@ -19,6 +19,10 @@ from popcorn_tpu.train.trainer import Trainer
 
 def main():
     args = train_parser().parse_args()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     paths = DataPaths(args.data_root)
     mcfg = model_config_from_args(args)
     tcfg = train_config_from_args(args)
