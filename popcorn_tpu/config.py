@@ -224,6 +224,22 @@ class DataPaths:
         name = f"{prefix}{season}" + ("Asc" if asc else "")
         return os.path.join(self.raw_ee, region, name)
 
+    def gbuildings_counts_path(self, region: str) -> str:
+        """Per-pixel building-count raster (Google Open Buildings, or the
+        SwissTLM3D footprints for che — reference PopulationDataset.py:277-286)."""
+        if region == "che":
+            base = self.gbuildings.replace("GoogleBuildings", "SwissBuildings")
+            return os.path.join(base, "che_buildings_counts.tif")
+        return os.path.join(self.gbuildings, region, f"Gbuildings_{region}_counts.tif")
+
+    def gbuildings_segmentation_path(self, region: str) -> str:
+        if region == "che":
+            base = self.gbuildings.replace("GoogleBuildings", "SwissBuildings")
+            return os.path.join(base, "che_buildings_segmentation.tif")
+        return os.path.join(
+            self.gbuildings, region, f"Gbuildings_{region}_segmentation.tif"
+        )
+
     def mosaic_index_path(self, region: str, modality: str, season: str, asc: bool = False) -> str:
         """Our equivalent of the reference's on-the-fly GDAL VRT
         (data/PopulationDataset.py:195-219): a JSON mosaic index over the

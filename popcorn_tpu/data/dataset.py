@@ -227,6 +227,19 @@ class PopulationDataset:
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
+        # buildings source: on-the-fly Sentinel extraction (default) or the
+        # pre-rasterised Google/Swiss building files (reference
+        # PopulationDataset.py:269-287, 607-612)
+        self._gb_counts: Optional[GeoTIFF] = None
+        self._gb_seg: Optional[GeoTIFF] = None
+        if not sentinelbuildings:
+            cpath = paths.gbuildings_counts_path(region)
+            spath = paths.gbuildings_segmentation_path(region)
+            if os.path.exists(cpath):
+                self._gb_counts = GeoTIFF(cpath)
+            if os.path.exists(spath):
+                self._gb_seg = GeoTIFF(spath)
+
         self._sources: Dict[Tuple[str, str, bool], _RasterSource] = {}
         self._boundary_handles: Dict[str, GeoTIFF] = {}
 
@@ -280,6 +293,10 @@ class PopulationDataset:
         if self.s1:
             arr = self._source("S1", season_idx, asc=not descending).read((1, 2), window)
             indata["S1"] = np.transpose(arr, (1, 2, 0))
+        if self._gb_counts is not None:
+            indata["building_counts"] = self._gb_counts.read(1, window=window)[0]
+        if self._gb_seg is not None:
+            indata["building_segmentation"] = self._gb_seg.read(1, window=window)[0]
         return indata, window
 
     def _heal(self, indata: Dict[str, np.ndarray], x, y, season_idx, patchsize, admin_overlap):
@@ -377,3 +394,7 @@ class PopulationDataset:
             g.close()
         self._boundary_handles.clear()
         self._sources.clear()
+        for g in (self._gb_counts, self._gb_seg):
+            if g is not None:
+                g.close()
+        self._gb_counts = self._gb_seg = None

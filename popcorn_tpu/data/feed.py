@@ -51,6 +51,10 @@ def pad_item_to(
             out[key] = np.pad(
                 a, ((0, h - a.shape[0]), (0, w - a.shape[1]), (0, 0))
             )
+    for key in ("building_counts", "building_segmentation"):
+        if key in item:
+            a = item[key]
+            out[key] = np.pad(a, ((0, h - a.shape[0]), (0, w - a.shape[1])))
     if "admin_mask" in item:
         a = item["admin_mask"]
         out["admin_mask"] = np.pad(
@@ -100,6 +104,9 @@ class WeaksupFeed:
         for key in ("S2", "S1", "VIIRS"):
             if key in items[0]:
                 batch[key] = np.stack([it[key] for it in items]).astype(np.float32)
+        for key in ("building_counts", "building_segmentation"):
+            if key in items[0]:
+                batch[key] = np.stack([it[key] for it in items]).astype(np.float32)
         batch["admin_mask"] = np.stack([it["admin_mask"] for it in items]).astype(
             np.float32
         )
@@ -111,7 +118,7 @@ class WeaksupFeed:
 
         if self.augment:
             g = draw_general(rng)
-            for key in ("S2", "S1", "VIIRS"):
+            for key in ("S2", "S1", "VIIRS", "building_counts", "building_segmentation"):
                 if key in batch:
                     batch[key] = np.ascontiguousarray(
                         apply_geometric(batch[key], g, hw_axes=(1, 2))
@@ -205,7 +212,7 @@ class InferenceFeed:
             items = [self.dataset.get_test_item(i) for i in idxs]
             npad = self.batch_size - len(items)
             batch: Dict = {}
-            for key in ("S2", "S1"):
+            for key in ("S2", "S1", "building_counts"):
                 if key in items[0]:
                     arr = np.stack([it[key] for it in items]).astype(np.float32)
                     if npad:

@@ -115,6 +115,8 @@ def make_train_step(
             "admin_mask": batch["admin_mask"],
             "census_idx": batch["census_idx"],
         }
+        if "building_counts" in batch:
+            inputs["building_counts"] = batch["building_counts"]
         out = popcorn_forward(
             params,
             consts,
@@ -168,6 +170,8 @@ def make_eval_popcount(mcfg: ModelConfig, consts: Tree, stats: NormStats):
             "admin_mask": batch["admin_mask"],
             "census_idx": batch["census_idx"],
         }
+        if "building_counts" in batch:
+            inputs["building_counts"] = batch["building_counts"]
         out = popcorn_forward(
             params, consts, inputs, mcfg, train=False, padding=False, sparse=False
         )

@@ -188,7 +188,8 @@ class Trainer:
             self._key, sub = jax.random.split(self._key)
             dev_batch = {
                 k: batch[k]
-                for k in ("S2", "S1", "admin_mask", "census_idx", "y", "photometric")
+                for k in ("S2", "S1", "building_counts", "admin_mask",
+                          "census_idx", "y", "photometric")
                 if k in batch
             }
             # explicit device_put: jit's implicit host->device conversion is
@@ -265,7 +266,8 @@ class Trainer:
                 dev_batch = jax.device_put(
                     {
                         k: batch[k]
-                        for k in ("S2", "S1", "admin_mask", "census_idx")
+                        for k in ("S2", "S1", "building_counts", "admin_mask",
+                                  "census_idx")
                         if k in batch
                     }
                 )

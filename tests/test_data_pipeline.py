@@ -199,3 +199,50 @@ def test_bucketing_and_feed(synth):
     b0b = next(iter(WeaksupFeed([ds], batch_size=2, seed=1600, prefetch=0).epoch(0)))
     np.testing.assert_array_equal(b0a["S2"], b0b["S2"])
     ds.close()
+
+
+def test_gbuildings_input_path(synth, tmp_path):
+    """sentinelbuildings=False reads pre-rasterised building files
+    (reference PopulationDataset.py:269-287, 607-612) and the model uses
+    them instead of the on-the-fly extractor."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.io.geotiff import write_geotiff
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.nn.popcorn import popcorn_forward
+
+    # plant a buildings-count raster
+    cpath = synth.gbuildings_counts_path("rwa")
+    rng_ = np.random.default_rng(5)
+    counts = (rng_.random((320, 448)) > 0.8).astype(np.float32) * 2.0
+    write_geotiff(cpath, counts, transform=(30.0, 1e-4, -1.5, 1e-4))
+
+    ds = PopulationDataset(
+        synth, "rwa", mode="weaksup", train_level="coarse",
+        sentinelbuildings=False, patchsize=None, overlap=None,
+    )
+    it = ds.get_admin_item(0, np.random.default_rng(0))
+    assert "building_counts" in it
+    assert it["building_counts"].shape == it["admin_mask"].shape
+
+    # model consumes provided counts when sentinel_buildings is off
+    mcfg = ModelConfig(pretrained=False, sentinel_buildings=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+    h, w = 64, 64
+    bc = jnp.asarray(counts[None, :h, :w])
+    inputs = {
+        "input": jnp.zeros((1, h, w, 6), jnp.float32),
+        "building_counts": bc,
+        "admin_mask": jnp.ones((1, h, w), jnp.float32),
+        "census_idx": jnp.asarray([1.0]),
+    }
+    out = popcorn_forward(params, consts, inputs, mcfg, padding=False)
+    np.testing.assert_array_equal(np.asarray(out["building_counts"]), np.asarray(bc))
+    # popdense is zero wherever the provided counts are zero
+    dense = np.asarray(out["popdensemap"])[0]
+    assert (dense[counts[:h, :w] == 0] == 0).all()
+    ds.close()
