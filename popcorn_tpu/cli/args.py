@@ -92,6 +92,8 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--num_workers", type=int, default=8)
     p.add_argument("--patch_batch", type=int, default=1)
     p.add_argument("--full", action="store_true", help="write detail maps")
+    p.add_argument("--in_memory", action="store_true",
+                   help="preload mosaics into RAM (reference arguments/eval.py:26)")
     return p
 
 
@@ -160,4 +162,5 @@ def eval_config_from_args(a) -> EvalConfig:
         save_dir=a.save_dir,
         num_workers=a.num_workers,
         patch_batch=a.patch_batch,
+        in_memory=getattr(a, "in_memory", False),
     )

@@ -336,6 +336,7 @@ class EvalConfig:
     save_dir: str = "./results"
     num_workers: int = 8
     patch_batch: int = 1  # patches per device step during sliding-window eval
+    in_memory: bool = False  # preload mosaics into host RAM
 
 
 def load_dataset_stats(path: Optional[str] = None) -> Dict[str, Dict[str, List[float]]]:

@@ -139,9 +139,20 @@ def validity_mask(patchsize_x: int, patchsize_y: int, overlap: int) -> np.ndarra
 
 class _RasterSource:
     """A merged mosaic GeoTIFF, or a MosaicIndex over raw tiles when the
-    merged file is missing (the reference's VRT fallback)."""
+    merged file is missing (the reference's VRT fallback).
 
-    def __init__(self, merged_path: str, tile_dir: Optional[str], cache: Optional[str]):
+    in_memory=True decodes the whole raster once and serves windows from
+    RAM (the reference's --in_memory eval flag, arguments/eval.py:26) —
+    windowed reads become pure numpy slices, which matters when training
+    revisits overlapping census crops every epoch."""
+
+    def __init__(
+        self,
+        merged_path: str,
+        tile_dir: Optional[str],
+        cache: Optional[str],
+        in_memory: bool = False,
+    ):
         if os.path.exists(merged_path):
             self._g = GeoTIFF(merged_path)
             self.shape = self._g.shape
@@ -152,8 +163,17 @@ class _RasterSource:
             raise FileNotFoundError(
                 f"neither merged mosaic {merged_path} nor raw tiles {tile_dir} exist"
             )
+        self._mem: Optional[np.ndarray] = None
+        if in_memory:
+            self._mem = self._g.read()
 
     def read(self, bands, window) -> np.ndarray:
+        if self._mem is not None:
+            if isinstance(bands, int):
+                bands = [bands]
+            (r0, r1), (c0, c1) = window
+            idx = [b - 1 for b in bands]
+            return self._mem[idx, r0:r1, c0:c1]
         return self._g.read(bands, window=window)
 
 
@@ -180,6 +200,7 @@ class PopulationDataset:
         max_pix: float = 10_000_000,
         max_pix_box: float = 12_000_000,
         asc_aug: bool = False,
+        in_memory: bool = False,
     ):
         self.paths = paths
         self.region = region
@@ -192,6 +213,7 @@ class PopulationDataset:
         self.asc_aug = asc_aug
         self.train_level = train_level
         self.sentinelbuildings = sentinelbuildings
+        self.in_memory = in_memory
 
         if region not in DATALOCATIONS:
             raise ValueError(
@@ -252,7 +274,9 @@ class PopulationDataset:
             merged = self.paths.modality_path(self.region, modality, season, asc)
             tiles = self.paths.raw_tile_dir(self.region, modality, season, asc)
             cache = self.paths.mosaic_index_path(self.region, modality, season, asc)
-            self._sources[key] = _RasterSource(merged, tiles, cache)
+            self._sources[key] = _RasterSource(
+                merged, tiles, cache, in_memory=self.in_memory
+            )
         return self._sources[key]
 
     def _boundary(self, level: str) -> GeoTIFF:

@@ -91,6 +91,7 @@ class Evaluator:
                 fourseasons=ecfg.fourseasons,
                 ascfill=reg in NEED_ASCENDING_FILL,
                 train_level=lvl,
+                in_memory=ecfg.in_memory,
             )
             for reg, lvl in zip(ecfg.target_regions, ecfg.train_level)
         ]

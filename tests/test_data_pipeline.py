@@ -246,3 +246,20 @@ def test_gbuildings_input_path(synth, tmp_path):
     dense = np.asarray(out["popdensemap"])[0]
     assert (dense[counts[:h, :w] == 0] == 0).all()
     ds.close()
+
+
+def test_in_memory_mode(synth):
+    """--in_memory equivalent: RAM-served windows == windowed file reads."""
+    ds_file = PopulationDataset(
+        synth, "rwa", mode="test", patchsize=128, overlap=16, fourseasons=False
+    )
+    ds_mem = PopulationDataset(
+        synth, "rwa", mode="test", patchsize=128, overlap=16, fourseasons=False,
+        in_memory=True,
+    )
+    a = ds_file.get_test_item(3)
+    b = ds_mem.get_test_item(3)
+    np.testing.assert_array_equal(a["S2"], b["S2"])
+    np.testing.assert_array_equal(a["S1"], b["S1"])
+    ds_file.close()
+    ds_mem.close()
