@@ -14,7 +14,6 @@ this module (the pure helpers live in acquisition.common).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Iterable, List, Optional, Tuple
 
 from .common import (

@@ -13,7 +13,7 @@ conversion) are plain numpy and unit-tested; the network layer
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ first-party MosaicIndex instead of GDAL BuildVRT/Translate (:176-194).
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Sequence, Tuple
 
 from .common import BBox, split_bbox
 

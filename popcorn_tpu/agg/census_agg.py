@@ -20,7 +20,7 @@ Equivalence to the reference loop is covered by tests/test_census_agg.py.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd

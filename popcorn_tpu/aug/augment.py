@@ -30,7 +30,7 @@ Reference quirks reproduced faithfully (documented):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -22,11 +22,11 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
-from ..aug.augment import GeneralAugParams, apply_geometric, draw_general, draw_photometric
+from ..aug.augment import apply_geometric, draw_general, draw_photometric
 from .dataset import PopulationDataset
 
 DEFAULT_LADDER = (256, 512, 1024, 1536, 2048, 3072, 4096)

@@ -12,7 +12,7 @@ data. Used by the test-suite and by bench.py.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

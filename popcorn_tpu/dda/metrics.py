@@ -12,7 +12,7 @@ exchanged. This implementation uses the standard definitions.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import BN_EPS
 from ..nn.ops import conv3x3, conv_transpose_2x2, conv1x1, max_pool_2x2, pad_to_match
-from ..nn.unet import OPT_IN, SAR_IN
+from ..nn.unet import SAR_IN
 
 Tree = Dict[str, Any]
 MOMENTUM = 0.1  # torch BatchNorm2d default

@@ -14,7 +14,7 @@ reference's census preprocessing uses (utils/02_preprocess_rwa_shapefile.py):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
-import numpy as np
 import pandas as pd
 
 from ..agg.census_agg import adjust_map_to_census, convert_popmap_to_census, detail_maps

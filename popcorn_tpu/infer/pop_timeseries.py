@@ -15,9 +15,8 @@ mosaics can live side by side.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
 
 from ..config import DataPaths, ModelConfig
 from ..data.dataset import PopulationDataset

@@ -15,7 +15,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

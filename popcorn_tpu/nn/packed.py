@@ -37,14 +37,14 @@ tests/test_packed.py (rtol ~1e-5 in f32).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .unet import OPT_IN, SAR_IN
+from .unet import SAR_IN
 
 Tree = Dict[str, Any]
 

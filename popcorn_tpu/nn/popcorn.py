@@ -27,7 +27,7 @@ TPU-first deviations (behaviour-preserving):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

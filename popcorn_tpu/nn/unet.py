@@ -29,8 +29,7 @@ DoubleConv. The dual-stream tree is
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np
@@ -28,7 +27,7 @@ from ..config import (
     find_dda_checkpoint,
 )
 from ..data.dataset import PopulationDataset
-from ..data.feed import InferenceFeed, WeaksupFeed
+from ..data.feed import WeaksupFeed
 from ..data.normalize import NormStats
 from ..io.geotiff import GeoTIFF
 from ..losses.losses import r2

@@ -7,7 +7,6 @@ optical/SAR composites, built-up probabilities and population maps.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
