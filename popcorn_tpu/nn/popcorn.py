@@ -247,9 +247,18 @@ def popcorn_forward(
         )
         if unet_no_grad:
             feats_p = lax.stop_gradient(feats_p)
-        out_p = packed_head_apply(
-            params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
-        )
+        if cfg.fused_head and not train:
+            # inference: Pallas kernel keeps the 1024-lane head intermediates
+            # in VMEM (training uses the XLA block-diag path for free autodiff)
+            from .pallas_packed_head import fused_packed_head
+
+            out_p = fused_packed_head(
+                params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
+            )
+        else:
+            out_p = packed_head_apply(
+                params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
+            )
         out = unpack_scalar(out_p, f).astype(jnp.float32)
     else:
         feats = dual_stream_features(
@@ -265,7 +274,8 @@ def popcorn_forward(
         if unet_no_grad:
             feats = lax.stop_gradient(feats)
         feats = revert_padding(feats, pad)
-        out = head_apply(params["head"], feats, dtype, fused=cfg.fused_head)[..., 0]
+        use_fused = cfg.fused_head and feats.shape[-1] == 16  # kernel is 16ch-only
+        out = head_apply(params["head"], feats, dtype, fused=use_fused)[..., 0]
         out = out.astype(jnp.float32)
 
     if cfg.occupancy_model:

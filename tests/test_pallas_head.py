@@ -50,3 +50,22 @@ def test_fused_nonaligned_pixel_count(head_params, rng):
     dense = head_apply(head_params, feats)
     fused = fused_head(head_params, feats)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_packed_head_matches_xla(head_params, rng):
+    """Pallas packed head == XLA block-diag packed head (CPU interpret)."""
+    import jax
+
+    from popcorn_tpu.nn.packed import (
+        pack,
+        packed_head_apply,
+        unpack_scalar,
+    )
+    from popcorn_tpu.nn.pallas_packed_head import fused_packed_head
+
+    feats16 = jnp.asarray(rng.standard_normal((1, 32, 32, 16)).astype(np.float32))
+    # build packed [sar|opt] layout from a 16ch plain map
+    fp = jnp.concatenate([pack(feats16[..., :8], 4), pack(feats16[..., 8:], 4)], -1)
+    ref = np.asarray(unpack_scalar(packed_head_apply(head_params, fp, 4), 4))
+    got = np.asarray(unpack_scalar(fused_packed_head(head_params, fp, 4), 4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
