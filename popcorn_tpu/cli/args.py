@@ -69,6 +69,8 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("-lt", "--logstep_train", type=int, default=25)
     p.add_argument("-val", "--val_every_n_epochs", type=int, default=2)
     p.add_argument("-wv", "--weak_validation", action="store_true")
+    p.add_argument("-vi", "--val_every_i_steps", type=int, default=500_000)
+    p.add_argument("-testi", "--test_every_i_steps", type=int, default=500_000)
     p.add_argument("--seed", type=int, default=1600)
     p.add_argument("--save-model", dest="save_model", default="both",
                    choices=["last", "best", "no", "both"])
@@ -143,6 +145,8 @@ def train_config_from_args(a) -> TrainConfig:
         max_pix_box=a.max_pix_box,
         weak_validation=a.weak_validation,
         val_every_n_epochs=a.val_every_n_epochs,
+        val_every_i_steps=a.val_every_i_steps,
+        test_every_i_steps=a.test_every_i_steps,
         logstep_train=a.logstep_train,
         asc_aug=a.ascAug,
         save_dir=a.save_dir,

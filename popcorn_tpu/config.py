@@ -313,6 +313,8 @@ class TrainConfig:
     max_pix_box: int = 12_000_000
     weak_validation: bool = False
     val_every_n_epochs: int = 2
+    val_every_i_steps: int = 500_000  # mid-epoch validation (reference -vi)
+    test_every_i_steps: int = 500_000  # mid-epoch target test (reference -testi)
     logstep_train: int = 25
     asc_aug: bool = False
     fourseasons: bool = True

@@ -211,6 +211,12 @@ class Trainer:
             self.info["iter"] += 1
             self.info["sampleitr"] += self.tcfg.weak_batch_size
 
+            # mid-epoch validation / target test (run_train.py:255-265)
+            if self.tcfg.weak_validation and (i + 1) % self.tcfg.val_every_i_steps == 0:
+                self.validate_weak()
+            if (i + 1) % self.tcfg.test_every_i_steps == 0:
+                self.test_target(save=True)
+
             if (i + 1) % max(1, min(self.tcfg.logstep_train, len(self.feed))) == 0:
                 self.log_train(stats, nlog)
                 stats, nlog = defaultdict(float), 0
@@ -257,7 +263,8 @@ class Trainer:
         out = {}
         for ds in self.val_datasets:
             feed = WeaksupFeed(
-                [ds], batch_size=1, bucket_ladder=self.tcfg.bucket_ladder,
+                [ds], batch_size=self.tcfg.weak_val_batch_size,
+                bucket_ladder=self.tcfg.bucket_ladder,
                 seed=self.tcfg.seed, augment=False, drop_last=False,
             )
             preds, gts = [], []
