@@ -270,6 +270,7 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
     layout: str = "auto"  # "auto": space-to-depth packed engine when shapes allow
     fused_head: bool = False  # use the Pallas fused 1x1-conv head (plain layout)
+    pallas_packed_head: bool = False  # experimental; slower than XLA on v5e
     remat_unet: bool = False  # jax.checkpoint the UNet blocks to save HBM
 
     @property

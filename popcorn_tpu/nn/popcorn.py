@@ -247,9 +247,10 @@ def popcorn_forward(
         )
         if unet_no_grad:
             feats_p = lax.stop_gradient(feats_p)
-        if cfg.fused_head and not train:
-            # inference: Pallas kernel keeps the 1024-lane head intermediates
-            # in VMEM (training uses the XLA block-diag path for free autodiff)
+        if getattr(cfg, "pallas_packed_head", False) and not train:
+            # experimental Pallas packed-head kernel: measured SLOWER than
+            # the XLA block-diag matmuls on v5e (5.15 vs 6.38 patches/s at
+            # TILE=256), so off by default; kept for future tuning.
             from .pallas_packed_head import fused_packed_head
 
             out_p = fused_packed_head(
