@@ -1,32 +1,32 @@
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-from popcorn_tpu.config import ModelConfig, TrainConfig
+from popcorn_tpu.config import ModelConfig
 from popcorn_tpu.compat.torch_convert import load_popcorn_from_dda
 from popcorn_tpu.data.normalize import NormStats
-from popcorn_tpu.train.state import make_optimizer, make_train_step
+from popcorn_tpu.infer.sliding import make_patch_forward, stack_ensemble
+from popcorn_tpu.nn.init import init_head
 
 mcfg = ModelConfig(pretrained=True, compute_dtype="bfloat16")
-tcfg = TrainConfig()
-params, consts = load_popcorn_from_dda(mcfg)
-opt = make_optimizer(tcfg)
-opt_state = opt.init(params)
-step = make_train_step(mcfg, tcfg, consts, NormStats(), opt)
-rng = np.random.default_rng(0); key = jax.random.PRNGKey(0)
-for B,H,W in [(2,2048,2048),(2,1024,1024)]:
-    batch = jax.device_put({
-        "S2": rng.uniform(0,4000,(B,H,W,4)).astype(np.float32),
-        "S1": rng.uniform(-25,0,(B,H,W,2)).astype(np.float32),
-        "admin_mask": np.ones((B,H,W), np.float32),
-        "census_idx": np.ones(B, np.float32),
-        "y": rng.uniform(10,1000,(B,)).astype(np.float32),
-        "photometric": np.asarray([1.0,1.2,1.0,0.9], np.float32),
-    })
-    p2, os2, aux = step(params, opt_state, batch, key)
-    _ = float(aux["optimization_loss"])
-    t0=time.time(); n=5
-    for _i in range(n):
-        p2, os2, aux = step(p2, os2, batch, key)
-        _ = float(aux["optimization_loss"])
-    dt=(time.time()-t0)/n
-    print(f"train step {B}x{H}: {dt*1000:.0f} ms -> {B*H*W/1e6/dt:.1f} Mpix/s fwd+bwd", flush=True)
+params0, consts = load_popcorn_from_dda(mcfg)
+members = []
+for seed in range(1600, 1605):
+    m = dict(params0); m["head"] = init_head(jax.random.PRNGKey(seed), biasinit=0.94)
+    members.append(m)
+stacked = stack_ensemble(members)
+rng = np.random.default_rng(0)
+dev = jax.device_put({
+    "S2": rng.uniform(0,4000,(1,2048,2048,4)).astype(np.float32),
+    "S1": rng.uniform(-25,0,(1,2048,2048,2)).astype(np.float32),
+    "mask": np.ones((1,2048,2048), np.float32),
+    "valid": np.ones((1,), np.float32),
+})
+fwd = make_patch_forward(mcfg, consts, NormStats(), 5, single_dispatch=True)
+t0=time.time(); r = fwd(stacked, dev); jax.block_until_ready(r)
+print(f"fused compile+run: {time.time()-t0:.0f}s", flush=True)
+for _ in range(2): r = fwd(stacked, dev)
+jax.block_until_ready(r)
+t0=time.time(); n=10
+for _ in range(n): r = fwd(stacked, dev)
+jax.block_until_ready(r)
+print(f"fused single-dispatch: {(time.time()-t0)/n*1000:.0f} ms/patch -> {n/(time.time()-t0):.2f} p/s", flush=True)

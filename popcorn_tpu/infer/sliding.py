@@ -45,6 +45,7 @@ def make_patch_forward(
     stats: NormStats,
     n_members: int,
     mesh=None,
+    single_dispatch: bool = False,
 ):
     """Jitted ensemble patch forward.
 
@@ -130,6 +131,12 @@ def make_patch_forward(
 
         return fn
 
+    def fused(stacked_params, batch):
+        x, score = prep(
+            {k: batch[k] for k in ("S2", "S1", "building_counts") if k in batch}
+        )
+        return members(stacked_params, x, score, batch["mask"], batch["valid"])
+
     if mesh is not None:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
@@ -145,6 +152,10 @@ def make_patch_forward(
             out_shardings=bs,
         )
         return fn_factory(prep_j, members_j)
+    if single_dispatch:
+        # one fused jit per patch: slower first compile (persistent-cached),
+        # one less dispatch per batch afterwards
+        return jax.jit(fused)
     return fn_factory(jax.jit(prep), jax.jit(members))
 
 
@@ -201,6 +212,37 @@ class StitchAccumulators:
         }
 
 
+_ACC_KEYS = ("dense_sum", "dense_sq", "scale_sum", "scale_sq", "count")
+
+# device accumulators: 5 float32 maps; stay on-device below this budget
+_DEVICE_STITCH_BUDGET_BYTES = 6e9
+
+
+def _make_stitch_add(batch_size: int):
+    """Jitted device-side scatter-add of patch results into the
+    country-scale accumulators (donated, so updates are in-place).
+
+    TPU-native replacement for the host accumulation loop: per-patch
+    results never leave the device (run_eval.py:127-135 moves every patch
+    through the CPU)."""
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def add(accs, res, xy):
+        for b in range(batch_size):
+            x, y = xy[b, 0], xy[b, 1]
+            for k in _ACC_KEYS:
+                p = res[k].shape[-1]
+                cur = jax.lax.dynamic_slice(accs[k], (x, y), (p, p))
+                accs[k] = jax.lax.dynamic_update_slice(
+                    accs[k], cur + res[k][b], (x, y)
+                )
+        return accs
+
+    return add
+
+
 def run_sliding_inference(
     members: Sequence[Tree],
     consts: Tree,
@@ -211,12 +253,36 @@ def run_sliding_inference(
     batch_size: int = 1,
     mesh=None,
     progress: bool = False,
+    device_stitch: str = "auto",
 ) -> Dict[str, np.ndarray]:
-    """Full-region ensemble inference -> stitched mean/std maps."""
+    """Full-region ensemble inference -> stitched mean/std maps.
+
+    device_stitch: "auto" keeps the 5 country-scale accumulators in device
+    HBM when they fit the budget (one transfer at the end instead of ~80 MB
+    of per-patch result maps); "host"/"device" force the mode. Mesh-sharded
+    runs always stitch on host (results are device-sharded).
+    """
     stats = stats or NormStats()
     stacked = stack_ensemble(list(members))
     fwd = make_patch_forward(mcfg, consts, stats, len(members), mesh=mesh)
-    acc = StitchAccumulators(dataset.shape())
+    h, w = dataset.shape()
+
+    use_device = device_stitch == "device" or (
+        device_stitch == "auto"
+        and mesh is None
+        and h * w * 4 * len(_ACC_KEYS) < _DEVICE_STITCH_BUDGET_BYTES
+    )
+    if mesh is not None:
+        use_device = False
+
+    acc = StitchAccumulators((h, w))
+    dev_accs = None
+    stitch_add = None
+    if use_device:
+        dev_accs = {
+            k: jnp.zeros((h, w), jnp.float32) for k in _ACC_KEYS
+        }
+        stitch_add = _make_stitch_add(batch_size)
 
     feed = InferenceFeed(dataset, batch_size=batch_size, prefetch=2)
     it = feed
@@ -226,16 +292,30 @@ def run_sliding_inference(
         it = tqdm(feed, total=len(feed), leave=False)
     for batch in it:
         dev_batch = {
-            k: batch[k] for k in ("S2", "S1", "mask", "valid") if k in batch
+            k: batch[k] for k in ("S2", "S1", "building_counts", "mask", "valid")
+            if k in batch
         }
         if mesh is None:
             # explicit bulk transfer (jit's implicit conversion is slow)
             dev_batch = jax.device_put(dev_batch)
         res = fwd(stacked, dev_batch)
-        res = {k: np.asarray(v) for k, v in res.items()}
-        for b in range(len(batch["valid"])):
-            if not batch["valid"][b]:
-                continue
-            x, y = (int(v) for v in batch["img_coords"][b])
-            acc.add(x, y, res, b)
+        if use_device:
+            # invalid (padding) rows are already zeroed by the valid mask,
+            # so adding them at their (repeated) coords is a no-op
+            xy = jnp.asarray(batch["img_coords"], jnp.int32)
+            dev_accs = stitch_add(dev_accs, res, xy)
+        else:
+            res = {k: np.asarray(v) for k, v in res.items()}
+            for b in range(len(batch["valid"])):
+                if not batch["valid"][b]:
+                    continue
+                x, y = (int(v) for v in batch["img_coords"][b])
+                acc.add(x, y, res, b)
+    if use_device:
+        host = {k: np.asarray(v) for k, v in dev_accs.items()}
+        acc.out = host["dense_sum"]
+        acc.out_sq = host["dense_sq"]
+        acc.scale = host["scale_sum"]
+        acc.scale_sq = host["scale_sq"]
+        acc.count = host["count"].astype(np.int32)
     return acc.finalize()

@@ -120,3 +120,29 @@ def test_sharded_inference_matches_single_device(tmp_path):
     )
     np.testing.assert_array_equal(sharded["count"], single["count"])
     ds.close()
+
+
+def test_device_stitch_matches_host(tmp_path):
+    """Device-side accumulator stitching == host stitching exactly."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.nn.init import init_popcorn
+
+    paths = make_synthetic_region(str(tmp_path), "rwa", height=160, width=224, seed=9)
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(4), mcfg)
+    ds = PopulationDataset(
+        paths, "rwa", mode="test", patchsize=96, overlap=16, fourseasons=False
+    )
+    host = run_sliding_inference(
+        [params], consts, mcfg, ds, batch_size=3, device_stitch="host"
+    )
+    dev = run_sliding_inference(
+        [params], consts, mcfg, ds, batch_size=3, device_stitch="device"
+    )
+    np.testing.assert_allclose(dev["map"], host["map"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dev["count"], host["count"])
+    np.testing.assert_allclose(dev["map_std"], host["map_std"], rtol=1e-4, atol=1e-6)
+    ds.close()
