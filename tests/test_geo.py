@@ -180,3 +180,38 @@ def test_preprocess_tool_end_to_end(tmp_path):
     for _, row in df.iterrows():
         xmin, xmax, ymin, ymax = parse_bbox(row["bbox"])
         assert (ids[xmin:xmax, ymin:ymax] == row["idx"]).sum() == row["count"]
+
+
+def test_pool_census_grid_tool(tmp_path):
+    """Grid-pooling tool: cell populations and ids consistent with the
+    fine raster (the Kigali 100m->coarser workflow)."""
+    import subprocess
+    import sys
+
+    from popcorn_tpu.io.geotiff import GeoTIFF, write_geotiff
+
+    rng = np.random.default_rng(3)
+    pop = rng.random((40, 60)).astype(np.float32)
+    fine = str(tmp_path / "pop.tif")
+    write_geotiff(fine, pop, transform=(30.0, 1e-4, -1.5, 1e-4))
+    outdir = str(tmp_path / "lv")
+    subprocess.run(
+        [sys.executable, "tools/pool_census_grid.py", "--fine-grid", fine,
+         "--cell-px", "10", "--factors", "1", "2", "--out-dir", outdir,
+         "--prefix", "k"],
+        check=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    df10 = pd.read_csv(os.path.join(outdir, "census_k10.csv"))
+    assert len(df10) == 4 * 6
+    np.testing.assert_allclose(df10["POP20"].sum(), pop.sum(), rtol=1e-5)
+    with GeoTIFF(os.path.join(outdir, "boundaries_k10.tif")) as g:
+        ids = g.read(1, squeeze=True)
+    # region sums over the id raster equal the census values
+    row = df10.iloc[7]
+    np.testing.assert_allclose(
+        pop[ids == row["idx"]].sum(), row["POP20"], rtol=1e-5
+    )
+    df20 = pd.read_csv(os.path.join(outdir, "census_k20.csv"))
+    assert len(df20) == 2 * 3
+    np.testing.assert_allclose(df20["POP20"].sum(), pop.sum(), rtol=1e-5)
