@@ -81,6 +81,8 @@ def make_synthetic_region(
     nan_fraction: float = 0.0,
     with_fine_level: bool = True,
     pop_scale: float = 500.0,
+    with_ascending: bool = False,
+    s1_desc_nan_fraction: float = 0.0,
 ) -> DataPaths:
     """Create a synthetic region under ``root`` in the PopMapData layout.
 
@@ -184,8 +186,18 @@ def make_synthetic_region(
                 (-21 + building * 6 + base * 2 + szn),
             ]
         ).astype(np.float32)
-        if nan_fraction > 0:
-            mask = rng.random((height, width)) < nan_fraction
+        if with_ascending:
+            # ascending-orbit fill data (the uga workflow): complete coverage
+            write_geotiff(
+                paths.modality_path(region, "S1", season, asc=True),
+                s1,
+                transform=transform,
+                nodata=float("nan"),
+            )
+        s1 = s1.copy()
+        frac = max(nan_fraction, s1_desc_nan_fraction)
+        if frac > 0:
+            mask = rng.random((height, width)) < frac
             s1[:, mask] = np.nan
         write_geotiff(
             paths.modality_path(region, "S1", season),

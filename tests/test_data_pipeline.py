@@ -263,3 +263,52 @@ def test_in_memory_mode(synth):
     np.testing.assert_array_equal(a["S1"], b["S1"])
     ds_file.close()
     ds_mem.close()
+
+
+def test_ascfill_healing(tmp_path):
+    """S1 gaps too large to interpolate fall back to the ascending orbit
+    (reference PopulationDataset.py:423-441; the uga workflow)."""
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+
+    paths = make_synthetic_region(
+        str(tmp_path), "uga", height=128, width=128, n_regions=(2, 2), seed=4,
+        with_ascending=True, s1_desc_nan_fraction=0.5, with_fine_level=False,
+    )
+    ds = PopulationDataset(
+        paths, "uga", mode="weaksup", train_level="coarse", ascfill=True,
+        patchsize=None, overlap=None,
+    )
+    it = ds.get_admin_item(0, np.random.default_rng(0))
+    assert np.isfinite(it["S1"]).all(), "asc fallback should heal all NaNs"
+    ds.close()
+
+    # without asc files and >5% NaN, the sample raises (reference
+    # 'No data here!' semantics)
+    paths2 = make_synthetic_region(
+        str(tmp_path / "b"), "rwa", height=128, width=128, n_regions=(2, 2),
+        seed=4, s1_desc_nan_fraction=0.5, with_fine_level=False,
+    )
+    ds2 = PopulationDataset(
+        paths2, "rwa", mode="weaksup", train_level="coarse", ascfill=True,
+        patchsize=None, overlap=None,
+    )
+    with pytest.raises((ValueError, FileNotFoundError)):
+        ds2.get_admin_item(0, np.random.default_rng(0))
+    ds2.close()
+
+
+def test_small_nan_interpolated(tmp_path):
+    """<5% NaN in S1 is healed by nearest-neighbour interpolation."""
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+
+    paths = make_synthetic_region(
+        str(tmp_path), "rwa", height=128, width=128, n_regions=(2, 2), seed=6,
+        s1_desc_nan_fraction=0.01, with_fine_level=False,
+    )
+    ds = PopulationDataset(
+        paths, "rwa", mode="weaksup", train_level="coarse",
+        patchsize=None, overlap=None,
+    )
+    it = ds.get_admin_item(0, np.random.default_rng(0))
+    assert np.isfinite(it["S1"]).all()
+    ds.close()
