@@ -165,6 +165,57 @@ def sparsity_mask(
     return jnp.where(empty, admin_sel, m)
 
 
+def prepare_packed_streams(x: jnp.ndarray, cfg: ModelConfig):
+    """Pack the DDA input streams once for reuse across ensemble members.
+
+    The pack relayouts are member-invariant but XLA does not hoist them out
+    of a member scan (measured ~8-10 ms per member at 2048^2), so the
+    inference engine prepares them explicitly. Returns
+    (sar_packed, opt_packed, f) with f==1 meaning 'use the plain path'.
+    """
+    from .packed import choose_pack_factor, pack
+
+    h, w = x.shape[1], x.shape[2]
+    f = choose_pack_factor(h, w) if getattr(cfg, "layout", "auto") != "plain" else 1
+    if f == 1 or not (cfg.s1 and cfg.s2):
+        return None, None, 1
+    x6 = reorder_to_dda(x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir)
+    return pack(x6[..., :2], f), pack(x6[..., 2:], f), f
+
+
+def packed_member_maps(
+    params: Tree,
+    consts: Tree,
+    sar_p: jnp.ndarray,
+    opt_p: jnp.ndarray,
+    f: int,
+    building_counts: jnp.ndarray,
+    cfg: ModelConfig,
+):
+    """One ensemble member's (popdensemap, scale) from pre-packed streams
+    (the member-dependent tail of popcorn_forward, eval semantics:
+    no padding, dense head, occupancy)."""
+    from .packed import packed_head_apply, packed_unet_stream, unpack_scalar
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    sar_f = packed_unet_stream(
+        params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype
+    )
+    opt_f = packed_unet_stream(
+        params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype
+    )
+    feats_p = jnp.concatenate([sar_f, opt_f], axis=-1)
+    out_p = packed_head_apply(params["head"], feats_p, f, dtype, two_stream=True)
+    out = unpack_scalar(out_p, f).astype(jnp.float32)
+    if cfg.occupancy_model:
+        scale = jax.nn.relu(out)
+        dense = scale * building_counts.astype(jnp.float32)
+    else:
+        scale = jnp.zeros_like(out)
+        dense = jax.nn.relu(out)
+    return dense, scale
+
+
 def popcorn_forward(
     params: Tree,
     consts: Tree,
