@@ -18,6 +18,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-S1", "--Sentinel1", action="store_true")
     p.add_argument("-S2", "--Sentinel2", action="store_true")
     p.add_argument("-NIR", "--NIR", action="store_true")
+    p.add_argument("-VIIRS", "--VIIRS", action="store_true",
+                   help="read+normalize VIIRS nightlights as an extra input "
+                        "channel (the reference resolves the file but never "
+                        "exposes a flag)")
     p.add_argument("-m", "--model", type=str, default="POPCORN")
     p.add_argument("-occmodel", "--occupancymodel", action="store_true")
     p.add_argument("-binp", "--buildinginput", action="store_true")
@@ -74,6 +78,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1600)
     p.add_argument("--save-model", dest="save_model", default="both",
                    choices=["last", "best", "no", "both"])
+    p.add_argument("--skip-first", dest="skip_first", action="store_true",
+                   help="don't optimize during the first epoch")
+    p.add_argument("-ms", "--max_samples", type=int, default=None,
+                   help="cap on weak samples drawn per epoch")
+    p.add_argument("--val_in_memory", action="store_true",
+                   help="preload validation rasters into host RAM")
     p.add_argument("-mws", "--max_weak_samples", type=int, default=None)
     p.add_argument("-mwp", "--max_weak_pix", type=int, default=10_000_000)
     p.add_argument("-mpb", "--max_pix_box", type=int, default=12_000_000)
@@ -109,10 +119,13 @@ def model_config_from_args(a) -> ModelConfig:
         s1=a.Sentinel1,
         s2=a.Sentinel2,
         nir=a.NIR,
+        viirs=a.VIIRS,
         occupancy_model=a.occupancymodel,
         pretrained=a.pretrained,
         biasinit=a.biasinit,
         sentinel_buildings=a.sentinelbuildings,
+        building_input=a.buildinginput,
+        segmentation_input=a.segmentationinput,
         feature_extractor=a.feature_extractor,
         compute_dtype=a.compute_dtype,
         fused_head=fused,
@@ -152,6 +165,9 @@ def train_config_from_args(a) -> TrainConfig:
         save_dir=a.save_dir,
         num_workers=a.num_workers,
         save_model=a.save_model,
+        skip_first=a.skip_first,
+        max_samples=a.max_samples,
+        val_in_memory=a.val_in_memory,
         data_parallel=a.data_parallel,
     )
 

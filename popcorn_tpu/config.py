@@ -261,10 +261,18 @@ class ModelConfig:
     s1: bool = True
     s2: bool = True
     nir: bool = True
+    viirs: bool = False  # read+normalize+assemble VIIRS nightlights; the DDA
+    # reorder ignores trailing channels, matching the reference's evident
+    # semantics (PopulationDataset.py:267 resolves the file, utils.py:123-125
+    # normalizes it, but calculate_input_channels never counts it)
     occupancy_model: bool = True
     pretrained: bool = True
     biasinit: float = 0.75
     sentinel_buildings: bool = True
+    building_input: bool = False  # -binp: carry pre-rasterised building
+    # counts through the pipeline (reference arguments/train.py:22)
+    segmentation_input: bool = False  # -sinp: keep/derive the building
+    # segmentation raster (reference utils/utils.py:153-159)
     feature_extractor: str = "DDA"
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
@@ -321,10 +329,18 @@ class TrainConfig:
     fourseasons: bool = True
     save_dir: str = "outputs"
     num_workers: int = 6
-    save_model: str = "both"
+    save_model: str = "both"  # 'last' | 'best' | 'no' | 'both'; 'best'
+    # tracks the weak-validation optimization loss (the reference parses
+    # the choice at arguments/train.py:53 but never implements it)
+    skip_first: bool = False  # don't optimize during the first epoch
+    # (reference arguments/train.py:42, parsed but unused there)
+    max_samples: Optional[int] = None  # cap on weak samples drawn per epoch
+    # (-ms, reference arguments/train.py:58, parsed but unused there)
     # TPU-specific:
     bucket_ladder: Tuple[int, ...] = (256, 512, 1024, 1536, 2048, 3072, 4096)
     data_parallel: int = 1  # number of mesh devices for batch sharding
+    val_in_memory: bool = False  # preload validation rasters into host RAM
+    # so mid-epoch -vi validation doesn't re-read windows from disk
 
 
 @dataclasses.dataclass

@@ -188,6 +188,7 @@ class PopulationDataset:
         s1: bool = True,
         s2: bool = True,
         nir: bool = True,
+        viirs: bool = False,
         patchsize: Optional[int] = 1024,
         overlap: Optional[int] = 32,
         fourseasons: bool = False,
@@ -205,6 +206,7 @@ class PopulationDataset:
         self.paths = paths
         self.region = region
         self.s1, self.s2, self.nir = s1, s2, nir
+        self.viirs = viirs
         self.patchsize = patchsize
         self.overlap = overlap
         self.fourseasons = fourseasons
@@ -268,6 +270,16 @@ class PopulationDataset:
     # -- raster access ----------------------------------------------------------
 
     def _source(self, modality: str, season_idx: int, asc: bool) -> _RasterSource:
+        if modality == "viirs":
+            # VIIRS is a single season-less covariate raster (reference
+            # PopulationDataset.py:267); no raw-tile fallback exists for it.
+            key = ("viirs", "", False)
+            if key not in self._sources:
+                merged = self.paths.modality_path(self.region, "viirs", "")
+                self._sources[key] = _RasterSource(
+                    merged, None, None, in_memory=self.in_memory
+                )
+            return self._sources[key]
         season = SEASONS[season_idx]
         key = (modality, season, asc)
         if key not in self._sources:
@@ -317,6 +329,9 @@ class PopulationDataset:
         if self.s1:
             arr = self._source("S1", season_idx, asc=not descending).read((1, 2), window)
             indata["S1"] = np.transpose(arr, (1, 2, 0))
+        if self.viirs:
+            arr = self._source("viirs", 0, False).read((1,), window)
+            indata["VIIRS"] = np.transpose(arr, (1, 2, 0))
         if self._gb_counts is not None:
             indata["building_counts"] = self._gb_counts.read(1, window=window)[0]
         if self._gb_seg is not None:

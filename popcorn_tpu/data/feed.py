@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -80,6 +80,9 @@ class WeaksupFeed:
         augment: bool = True,
         drop_last: bool = True,
         prefetch: int = 2,
+        building_input: bool = False,
+        segmentation_input: bool = False,
+        max_samples: Optional[int] = None,
     ):
         self.datasets = list(datasets)
         self.batch_size = batch_size
@@ -88,6 +91,9 @@ class WeaksupFeed:
         self.augment = augment
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.building_input = building_input
+        self.segmentation_input = segmentation_input
+        self.max_samples = max_samples
         self.index: List[Tuple[int, int]] = [
             (d, i) for d, ds in enumerate(self.datasets) for i in range(len(ds))
         ]
@@ -110,6 +116,16 @@ class WeaksupFeed:
         batch["admin_mask"] = np.stack([it["admin_mask"] for it in items]).astype(
             np.float32
         )
+        # -binp/-sinp segmentation policy (reference utils/utils.py:153-159):
+        # with both flags, derive the segmentation from counts when absent;
+        # without -sinp, drop any segmentation raster.
+        if self.building_input and self.segmentation_input:
+            if "building_segmentation" not in batch and "building_counts" in batch:
+                batch["building_segmentation"] = (
+                    batch["building_counts"] > 0.5
+                ).astype(np.float32)
+        elif not self.segmentation_input:
+            batch.pop("building_segmentation", None)
         batch["y"] = np.asarray([it["y"] for it in items], np.float32)
         batch["census_idx"] = np.asarray(
             [it["census_idx"] for it in items], np.float32
@@ -138,6 +154,9 @@ class WeaksupFeed:
     def _epoch_batches(self, epoch: int) -> Iterator[Dict]:
         rng = np.random.default_rng(self.seed + 1000 * epoch)
         order = rng.permutation(len(self.index))
+        if self.max_samples is not None:
+            # -ms epoch sample cap (reference arguments/train.py:58)
+            order = order[: self.max_samples]
         # group by bucket shape so batch members share a static shape
         pending: Dict[Tuple[int, int], List[Dict]] = {}
         for j in order:
@@ -212,7 +231,7 @@ class InferenceFeed:
             items = [self.dataset.get_test_item(i) for i in idxs]
             npad = self.batch_size - len(items)
             batch: Dict = {}
-            for key in ("S2", "S1", "building_counts"):
+            for key in ("S2", "S1", "VIIRS", "building_counts"):
                 if key in items[0]:
                     arr = np.stack([it[key] for it in items]).astype(np.float32)
                     if npad:

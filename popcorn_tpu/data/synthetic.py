@@ -83,6 +83,8 @@ def make_synthetic_region(
     pop_scale: float = 500.0,
     with_ascending: bool = False,
     s1_desc_nan_fraction: float = 0.0,
+    with_buildings: bool = False,
+    with_viirs: bool = False,
 ) -> DataPaths:
     """Create a synthetic region under ``root`` in the PopMapData layout.
 
@@ -204,6 +206,28 @@ def make_synthetic_region(
             s1,
             transform=transform,
             nodata=float("nan"),
+        )
+
+    if with_buildings:
+        # pre-rasterised building counts + segmentation in the Google/Swiss
+        # Buildings layout (reference PopulationDataset.py:269-287), derived
+        # from the planted building field so the -binp occupancy path can
+        # actually fit the population
+        counts = (building * 4.0).astype(np.float32)
+        seg = (building > 0).astype(np.float32)
+        for path, arr in (
+            (paths.gbuildings_counts_path(region), counts),
+            (paths.gbuildings_segmentation_path(region), seg),
+        ):
+            write_geotiff(path, arr[None], transform=transform)
+
+    if with_viirs:
+        # season-less VIIRS nightlights covariate, correlated with popdense
+        viirs = (popdense * 20.0 + _smooth_field(rng, height, width, 32) * 0.5).astype(
+            np.float32
+        )
+        write_geotiff(
+            paths.modality_path(region, "viirs", ""), viirs[None], transform=transform
         )
 
     # ground-truth fields for test assertions

@@ -86,11 +86,12 @@ class Evaluator:
         self.datasets = [
             PopulationDataset(
                 paths, reg, mode="test", patchsize=2048, overlap=128,
-                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, viirs=mcfg.viirs,
                 fourseasons=ecfg.fourseasons,
                 ascfill=reg in NEED_ASCENDING_FILL,
                 train_level=lvl,
                 in_memory=ecfg.in_memory,
+                sentinelbuildings=mcfg.sentinel_buildings,
             )
             for reg, lvl in zip(ecfg.target_regions, ecfg.train_level)
         ]

@@ -84,6 +84,8 @@ def make_patch_forward(
             sample["S2"] = batch["S2"]
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
+        if mcfg.viirs and "VIIRS" in batch:
+            sample["VIIRS"] = batch["VIIRS"]
         x = normalize_and_assemble(sample, stats)
         if mcfg.sentinel_buildings or not mcfg.occupancy_model:
             score = create_building_score(
@@ -138,18 +140,33 @@ def make_patch_forward(
             "count": m * n_members,
         }
 
+    needs_counts = mcfg.occupancy_model and not mcfg.sentinel_buildings
+    _PREP_KEYS = ("S2", "S1", "VIIRS", "building_counts")
+
+    def _check_counts(batch):
+        if needs_counts and "building_counts" not in batch:
+            raise ValueError(
+                "occupancy model without sentinel buildings (-occmodel without "
+                "-senbuilds) requires 'building_counts' in every batch: open "
+                "the dataset with sentinelbuildings=False so the pre-rasterised "
+                "Google/Swiss building rasters are read "
+                "(reference PopulationDataset.py:269-287), or pass -senbuilds."
+            )
+
     def fn_factory(prep_j, members_j):
         def fn(stacked_params, batch):
+            _check_counts(batch)
             x, score = prep_j(
-                {k: batch[k] for k in ("S2", "S1", "building_counts") if k in batch}
+                {k: batch[k] for k in _PREP_KEYS if k in batch}
             )
             return members_j(stacked_params, x, score, batch["mask"], batch["valid"])
 
         return fn
 
     def fused(stacked_params, batch):
+        _check_counts(batch)
         x, score = prep(
-            {k: batch[k] for k in ("S2", "S1", "building_counts") if k in batch}
+            {k: batch[k] for k in _PREP_KEYS if k in batch}
         )
         return members(stacked_params, x, score, batch["mask"], batch["valid"])
 
@@ -161,6 +178,10 @@ def make_patch_forward(
             keys.append("S2")
         if mcfg.s1:
             keys.append("S1")
+        if mcfg.viirs:
+            keys.append("VIIRS")
+        if needs_counts:
+            keys.append("building_counts")
         prep_j = jax.jit(prep, in_shardings=({k: bs for k in keys},), out_shardings=bs)
         members_j = jax.jit(
             members,
@@ -308,7 +329,8 @@ def run_sliding_inference(
         it = tqdm(feed, total=len(feed), leave=False)
     for batch in it:
         dev_batch = {
-            k: batch[k] for k in ("S2", "S1", "building_counts", "mask", "valid")
+            k: batch[k]
+            for k in ("S2", "S1", "VIIRS", "building_counts", "mask", "valid")
             if k in batch
         }
         if mesh is None:

@@ -110,6 +110,8 @@ def make_train_step(
             sample["S2"] = photometric_s2_traced(batch["S2"], batch["photometric"])
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
+        if mcfg.viirs and "VIIRS" in batch:
+            sample["VIIRS"] = batch["VIIRS"]
         inputs = {
             "input": normalize_and_assemble(sample, stats),
             "admin_mask": batch["admin_mask"],
@@ -165,6 +167,8 @@ def make_eval_popcount(mcfg: ModelConfig, consts: Tree, stats: NormStats):
             sample["S2"] = batch["S2"]
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
+        if mcfg.viirs and "VIIRS" in batch:
+            sample["VIIRS"] = batch["VIIRS"]
         inputs = {
             "input": normalize_and_assemble(sample, stats),
             "admin_mask": batch["admin_mask"],

@@ -73,13 +73,19 @@ class Trainer:
 
         # datasets ------------------------------------------------------------
         split = "train" if tcfg.weak_validation else "all"
+        # sentinelbuildings is threaded into every dataset exactly like the
+        # reference (run_train.py:416-437): with -binp and no -senbuilds the
+        # pre-rasterised Google/Swiss building rasters are windowed in.
+        senb = mcfg.sentinel_buildings
         self.train_datasets = [
             PopulationDataset(
                 paths, reg, mode="weaksup", split=split, train_level=lvl,
-                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, fourseasons=tcfg.fourseasons,
+                s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, viirs=mcfg.viirs,
+                fourseasons=tcfg.fourseasons,
                 max_samples=tcfg.max_weak_samples, max_pix=tcfg.max_weak_pix,
                 max_pix_box=tcfg.max_pix_box, ascfill=reg in NEED_ASCENDING_FILL,
                 asc_aug=tcfg.asc_aug, patchsize=None, overlap=None,
+                sentinelbuildings=senb,
             )
             for reg, lvl in zip(tcfg.target_regions_train, tcfg.train_level)
         ]
@@ -87,10 +93,12 @@ class Trainer:
             [
                 PopulationDataset(
                     paths, reg, mode="weaksup", split="val", train_level=lvl,
-                    s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, fourseasons=tcfg.fourseasons,
+                    s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, viirs=mcfg.viirs,
+                    fourseasons=tcfg.fourseasons,
                     max_samples=tcfg.max_weak_samples, max_pix=tcfg.max_weak_pix,
                     max_pix_box=tcfg.max_pix_box, ascfill=reg in NEED_ASCENDING_FILL,
-                    patchsize=None, overlap=None,
+                    patchsize=None, overlap=None, sentinelbuildings=senb,
+                    in_memory=tcfg.val_in_memory,
                 )
                 for reg, lvl in zip(tcfg.target_regions_train, tcfg.train_level)
             ]
@@ -101,7 +109,8 @@ class Trainer:
             PopulationDataset(
                 paths, reg, mode="test", patchsize=inference_patch,
                 overlap=inference_overlap, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
-                fourseasons=False, ascfill=reg in NEED_ASCENDING_FILL,
+                viirs=mcfg.viirs, fourseasons=False,
+                ascfill=reg in NEED_ASCENDING_FILL, sentinelbuildings=senb,
             )
             for reg in tcfg.target_regions
         ]
@@ -111,6 +120,9 @@ class Trainer:
             batch_size=tcfg.weak_batch_size,
             bucket_ladder=tcfg.bucket_ladder,
             seed=tcfg.seed,
+            building_input=mcfg.building_input,
+            segmentation_input=mcfg.segmentation_input,
+            max_samples=tcfg.max_samples,
         )
 
         # model ---------------------------------------------------------------
@@ -147,6 +159,7 @@ class Trainer:
         self.info = {"epoch": 0, "iter": 0, "sampleitr": 0}
         self.pred_buffer = NumberList(300)
         self.target_buffer = NumberList(300)
+        self.best_optimization_loss = float("inf")
         self._key = jax.random.PRNGKey(tcfg.seed + 1)
 
         if resume is not None:
@@ -205,7 +218,7 @@ class Trainer:
             self._key, sub = jax.random.split(self._key)
             dev_batch = {
                 k: batch[k]
-                for k in ("S2", "S1", "building_counts", "admin_mask",
+                for k in ("S2", "S1", "VIIRS", "building_counts", "admin_mask",
                           "census_idx", "y", "photometric")
                 if k in batch
             }
@@ -216,14 +229,19 @@ class Trainer:
 
                 dev_batch = shard_batch(
                     dev_batch, self.mesh,
-                    batch_keys=("S2", "S1", "building_counts", "admin_mask",
-                                "census_idx", "y"),
+                    batch_keys=("S2", "S1", "VIIRS", "building_counts",
+                                "admin_mask", "census_idx", "y"),
                 )
             else:
                 dev_batch = jax.device_put(dev_batch)
-            self.params, self.opt_state, aux = self.step_fn(
+            new_params, new_opt_state, aux = self.step_fn(
                 self.params, self.opt_state, dev_batch, sub, **flags
             )
+            if not (self.tcfg.skip_first and self.info["epoch"] == 0):
+                # --skip-first: run the full step (loss/metrics/logging) but
+                # discard the parameter update during epoch 0 (the reference
+                # flag's stated intent, arguments/train.py:42)
+                self.params, self.opt_state = new_params, new_opt_state
             loss = float(aux["optimization_loss"])
             if np.isnan(loss):
                 raise FloatingPointError("detected NaN loss..")
@@ -288,19 +306,16 @@ class Trainer:
 
     def validate_weak(self) -> Dict[str, float]:
         out = {}
+        all_preds, all_gts = [], []
         for ds in self.val_datasets:
-            feed = WeaksupFeed(
-                [ds], batch_size=self.tcfg.weak_val_batch_size,
-                bucket_ladder=self.tcfg.bucket_ladder,
-                seed=self.tcfg.seed, augment=False, drop_last=False,
-            )
+            feed = self._val_feed(ds)
             preds, gts = [], []
             for batch in feed.epoch(0):
                 dev_batch = jax.device_put(
                     {
                         k: batch[k]
-                        for k in ("S2", "S1", "building_counts", "admin_mask",
-                                  "census_idx")
+                        for k in ("S2", "S1", "VIIRS", "building_counts",
+                                  "admin_mask", "census_idx")
                         if k in batch
                     }
                 )
@@ -310,12 +325,50 @@ class Trainer:
                 continue
             pred = np.concatenate(preds)
             gt = np.concatenate(gts)
+            all_preds.append(pred)
+            all_gts.append(gt)
             m = get_test_metrics(
                 pred, gt, tag=f"MainCensus_{ds.region}_{ds.train_level}"
             )
             out.update(m)
+        if all_preds:
+            # validation optimization loss (same configured loss x lam_weak as
+            # training) drives --save-model best (reference run_train.py:98
+            # tracks best_optimization_loss; the 'best' choice there is
+            # parsed but never saved — we implement the stated intent)
+            from ..losses.losses import get_loss
+
+            import jax.numpy as jnp
+
+            vloss, _ = get_loss(
+                jnp.asarray(np.concatenate(all_preds)),
+                jnp.asarray(np.concatenate(all_gts)),
+                loss=self.tcfg.loss, lam=self.tcfg.lam,
+            )
+            vloss = float(vloss) * self.tcfg.lam_weak
+            out["optimization_loss"] = vloss
+            if vloss < self.best_optimization_loss:
+                self.best_optimization_loss = vloss
+                if self.tcfg.save_model in ("best", "both"):
+                    self.save_model("best")
         self.logger.log({f"{k}/val": v for k, v in out.items()}, self.info["iter"])
         return out
+
+    def _val_feed(self, ds) -> WeaksupFeed:
+        """Cached per-dataset validation feed: rebuilding one per call
+        re-reads every raster (round-1 weak #7)."""
+        if not hasattr(self, "_val_feeds"):
+            self._val_feeds = {}
+        key = id(ds)
+        if key not in self._val_feeds:
+            self._val_feeds[key] = WeaksupFeed(
+                [ds], batch_size=self.tcfg.weak_val_batch_size,
+                bucket_ladder=self.tcfg.bucket_ladder,
+                seed=self.tcfg.seed, augment=False, drop_last=False,
+                building_input=self.mcfg.building_input,
+                segmentation_input=self.mcfg.segmentation_input,
+            )
+        return self._val_feeds[key]
 
     def test_target(self, save: bool = False) -> Dict[str, float]:
         """In-training sliding-window test (run_train.py:314-370)."""
