@@ -103,13 +103,57 @@ def main():
         f"{330 * 4 / pps / 60:.2f} min single-chip"
     )
 
+    # ---- train-step benchmark (fwd+bwd at a training bucket shape) ----------
+    from popcorn_tpu.config import TrainConfig
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    tcfg = TrainConfig(weak_batch_size=2)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params0)
+    step = make_train_step(mcfg, tcfg, consts, stats, optimizer)
+    tb, th, tw = 2, 1024, 1024
+    ids = np.tile(
+        np.arange(1, tb + 1, dtype=np.float32)[:, None, None], (1, th, tw)
+    )
+    train_batch = jax.device_put({
+        "S2": np.asarray(rng.uniform(0, 4000, (tb, th, tw, 4)), np.float32),
+        "S1": np.asarray(rng.uniform(-25, 0, (tb, th, tw, 2)), np.float32),
+        "admin_mask": ids,
+        "census_idx": np.arange(1, tb + 1, dtype=np.float32),
+        "y": np.asarray(rng.uniform(10, 1000, (tb,)), np.float32),
+        "photometric": np.asarray([0.0, 1.0, 0.0, 1.0], np.float32),
+    })
+    key = jax.random.PRNGKey(0)
+    p, o = params0, opt_state
+    t0 = time.time()
+    p, o, aux = step(p, o, train_batch, key)
+    jax.block_until_ready(p)
+    log(f"train-step first call (compile+run): {time.time() - t0:.1f}s")
+    for _ in range(2):
+        p, o, aux = step(p, o, train_batch, key)
+    jax.block_until_ready(p)
+    titers = 8 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(titers):
+        p, o, aux = step(p, o, train_batch, key)
+    jax.block_until_ready(p)
+    tdt = (time.time() - t0) / titers
+    train_mpix = tb * th * tw / tdt / 1e6
+    log(f"train step {tb}x{th}^2: {tdt * 1e3:.1f} ms ({train_mpix:.1f} Mpix/s fwd+bwd)")
+
     print(
         json.dumps(
             {
                 "metric": "ensemble5_2048px_patches_per_sec",
                 "value": round(pps, 4),
                 "unit": "patches/s",
+                # NOTE: estimate, not a measurement — derived from the
+                # reference's published training times and its sequential
+                # 5-member eval loop (see module docstring)
                 "vs_baseline": round(pps / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 3),
+                "vs_baseline_is_estimate": True,
+                "train_step_ms_2x1024": round(tdt * 1e3, 2),
+                "train_mpix_per_sec": round(train_mpix, 2),
             }
         )
     )

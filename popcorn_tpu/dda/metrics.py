@@ -98,8 +98,52 @@ def _iou_masks(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / max(union, 1))
 
 
+def _gaussian_window(size: int = 7, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def ssim(
+    y_true: np.ndarray,
+    y_pred: np.ndarray,
+    window_size: int = 7,
+    max_val: float = 1.0,
+) -> float:
+    """Mean structural similarity with a gaussian window (sigma 1.5).
+
+    Pure numpy/scipy equivalent of the reference's kornia SSIM
+    (model/DDA_model/utils/metrics.py:133-135: kornia.metrics.ssim with
+    windowsize 7 followed by torch.mean). Local statistics come from
+    'valid'-mode gaussian filtering so no padding semantics leak in.
+    """
+    from scipy.signal import fftconvolve
+
+    a = np.asarray(y_true, np.float64)
+    b = np.asarray(y_pred, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    w = _gaussian_window(window_size)
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+
+    def filt(x):
+        return fftconvolve(x, w, mode="valid")
+
+    mu_a = filt(a)
+    mu_b = filt(b)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    var_a = filt(a * a) - mu_aa
+    var_b = filt(b * b) - mu_bb
+    cov = filt(a * b) - mu_ab
+    num = (2 * mu_ab + c1) * (2 * cov + c2)
+    den = (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))
+
+
 def morphology_metrics(y_true: np.ndarray, y_prob: np.ndarray, threshold=0.5) -> Dict[str, float]:
-    """Boundary/opened/closed/gradient IoU + Hausdorff distance."""
+    """Boundary/opened/closed/gradient IoU + SSIM + Hausdorff distance."""
     from scipy import ndimage
     from scipy.spatial.distance import directed_hausdorff
 
@@ -115,6 +159,9 @@ def morphology_metrics(y_true: np.ndarray, y_prob: np.ndarray, threshold=0.5) ->
         "closed_iou": _iou_masks(
             ndimage.binary_closing(t, s), ndimage.binary_closing(p, s)
         ),
+        # SSIM on the thresholded masks, as the reference applies it to the
+        # binarized built-up maps (metrics.py:133-135)
+        "ssim": ssim(t.astype(np.float64), p.astype(np.float64)),
     }
     pt = np.argwhere(t)
     pp = np.argwhere(p)

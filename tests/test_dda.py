@@ -78,8 +78,28 @@ def test_morphology_metrics():
     t[5:15, 5:15] = 1
     out = morphology_metrics(t, t)
     assert out["iou"] == 1.0 and out["hausdorff"] == 0.0
+    assert out["ssim"] == pytest.approx(1.0)
     out2 = morphology_metrics(t, np.roll(t, 2, axis=0))
     assert 0 < out2["iou"] < 1
+    assert 0 < out2["ssim"] < 1
+
+
+def test_ssim_known_values():
+    """SSIM of constant images has a closed form: local variances vanish, so
+    ssim = (2*mu_a*mu_b + C1) / (mu_a^2 + mu_b^2 + C1)."""
+    from popcorn_tpu.dda.metrics import ssim
+
+    a = np.full((32, 32), 0.5)
+    b = np.full((32, 32), 1.0)
+    c1 = 0.01**2
+    expected = (2 * 0.5 * 1.0 + c1) / (0.5**2 + 1.0**2 + c1)
+    assert ssim(a, b) == pytest.approx(expected, rel=1e-9)
+    assert ssim(a, a) == pytest.approx(1.0)
+    # structural decorrelation drives ssim toward 0
+    rng = np.random.default_rng(0)
+    x = rng.random((64, 64))
+    y = rng.random((64, 64))
+    assert abs(ssim(x, y)) < 0.2
 
 
 def test_bn_train_eval_semantics(rng):
