@@ -278,7 +278,9 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
     layout: str = "auto"  # "auto": space-to-depth packed engine when shapes allow
     fused_head: bool = False  # use the Pallas fused 1x1-conv head (plain layout)
-    pallas_packed_head: bool = False  # experimental; slower than XLA on v5e
+    pallas_packed_head: Optional[bool] = None  # Pallas fused packed head
+    # (block-diagonal VMEM pipeline, ~2.6x the XLA block-diag matmuls on
+    # v5e); None = auto: on for inference on TPU, off elsewhere
     remat_unet: bool = False  # jax.checkpoint the UNet blocks to save HBM
 
     @property

@@ -103,35 +103,68 @@ def make_patch_forward(
         compile quickly through the remote-compile tunnel; the extra
         dispatch is ~30 ms per batch. The packed input streams are
         prepared ONCE (member-invariant relayouts are not hoisted out of
-        the scan by XLA — measured ~40 ms per 5-member patch).
+        the scan by XLA — measured ~40 ms per 5-member patch), and the
+        whole fold — head output, relu, score multiply, square, masking —
+        stays in the space-to-depth packed layout; the four accumulator
+        maps are unpacked ONCE at the end (per-member unpack relayouts
+        cost ~5 ms each at 2048^2).
         """
+        from ..nn.packed import pack, unpack_scalar
         from ..nn.popcorn import packed_member_maps, prepare_packed_streams
 
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        zeros = jnp.zeros((b, h, w), jnp.float32)
 
         sar_p, opt_p, f = prepare_packed_streams(x, mcfg_member)
+        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
         if f > 1:
+            # everything in the dense-lane FLAT packed layout (B,Hp,Wp*f^2):
+            # a (B,Hp,Wp,f^2) f32 tensor would pad its size-16 minor dim to
+            # 128 lanes — 8x the HBM bytes on every accumulator op
+            bp, hp, wpf = sar_p.shape[0], sar_p.shape[1], sar_p.shape[2]
+            ff = f * f
+
+            def to_flat(a3):  # (B,H,W) scalar map -> flat packed
+                return pack(a3[..., None].astype(jnp.float32), f).reshape(
+                    bp, hp, wpf * ff
+                )
+
+            def from_flat(a):  # flat packed -> (B,H,W)
+                return unpack_scalar(a.reshape(bp, hp, wpf, ff), f)
+
             score3 = score if score.ndim == 3 else score[..., 0]
+            score_p = to_flat(score3)
+            zeros_p = jnp.zeros(score_p.shape, jnp.float32)
 
             def body(carry, params):
                 ds, dsq, ss, ssq = carry
                 dense, scale = packed_member_maps(
-                    params, consts, sar_p, opt_p, f, score3, mcfg_member
+                    params, consts, sar_p, opt_p, f, score_p, mcfg_member
                 )
                 return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
-        else:
-            inputs = {"input": x, "building_counts": score}
 
-            def body(carry, params):
-                ds, dsq, ss, ssq = carry
-                dense, scale = member_forward(params, inputs)
-                return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
+            (ds, dsq, ss, ssq), _ = jax.lax.scan(
+                body, (zeros_p, zeros_p, zeros_p, zeros_p), stacked_params
+            )
+            m_p = to_flat(m)
+            return {
+                "dense_sum": from_flat(ds * m_p),
+                "dense_sq": from_flat(dsq * m_p),
+                "scale_sum": from_flat(ss * m_p),
+                "scale_sq": from_flat(ssq * m_p),
+                "count": m * n_members,
+            }
+
+        zeros = jnp.zeros((b, h, w), jnp.float32)
+        inputs = {"input": x, "building_counts": score}
+
+        def body(carry, params):
+            ds, dsq, ss, ssq = carry
+            dense, scale = member_forward(params, inputs)
+            return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
 
         (ds, dsq, ss, ssq), _ = jax.lax.scan(
             body, (zeros, zeros, zeros, zeros), stacked_params
         )
-        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
         return {
             "dense_sum": ds * m,
             "dense_sq": dsq * m,

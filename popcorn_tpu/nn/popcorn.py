@@ -183,19 +183,43 @@ def prepare_packed_streams(x: jnp.ndarray, cfg: ModelConfig):
     return pack(x6[..., :2], f), pack(x6[..., 2:], f), f
 
 
+def use_pallas_packed_head(cfg: ModelConfig, train: bool) -> bool:
+    """Auto gate for the Pallas fused packed head: inference on TPU only
+    (training keeps the XLA block-diag matmuls, whose autodiff is free;
+    on CPU the kernel would run in slow interpret mode)."""
+    if train:
+        return False
+    v = getattr(cfg, "pallas_packed_head", None)
+    if v is None:
+        # default off: standalone the kernel is 2.6x the XLA block-diag
+        # matmuls, but inside the member scan the custom-call layout
+        # constraint degrades the neighbouring XLA convs (measured: the
+        # 0.4 ms lifted convs become 2.4 ms in a T(2,128) layout). It pays
+        # off only when the streams are Pallas too (pallas_stream).
+        return False
+    return bool(v)
+
+
 def packed_member_maps(
     params: Tree,
     consts: Tree,
     sar_p: jnp.ndarray,
     opt_p: jnp.ndarray,
     f: int,
-    building_counts: jnp.ndarray,
+    score_packed: jnp.ndarray,
     cfg: ModelConfig,
 ):
-    """One ensemble member's (popdensemap, scale) from pre-packed streams
-    (the member-dependent tail of popcorn_forward, eval semantics:
-    no padding, dense head, occupancy)."""
-    from .packed import packed_head_apply, packed_unet_stream, unpack_scalar
+    """One ensemble member's (popdensemap, scale) — ENTIRELY in packed
+    space (the member-dependent tail of popcorn_forward, eval semantics:
+    no padding, dense head, occupancy).
+
+    score_packed: the building score in the dense-lane FLAT packed layout
+    (B, Hp, Wp*f^2) — packed at f, with the size-f^2 minor dim folded into
+    the lane dim so no tensor in the fold carries 128-lane padding.
+    Returns flat-packed (dense_p, scale_p) float32 — the caller accumulates
+    in this layout and unpacks ONCE after the ensemble fold (per-member
+    unpack relayouts cost ~5 ms each at 2048^2, measured round 2)."""
+    from .packed import packed_head_apply, packed_unet_stream
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     sar_f = packed_unet_stream(
@@ -205,15 +229,25 @@ def packed_member_maps(
         params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype
     )
     feats_p = jnp.concatenate([sar_f, opt_f], axis=-1)
-    out_p = packed_head_apply(params["head"], feats_p, f, dtype, two_stream=True)
-    out = unpack_scalar(out_p, f).astype(jnp.float32)
-    if cfg.occupancy_model:
-        scale = jax.nn.relu(out)
-        dense = scale * building_counts.astype(jnp.float32)
+    b, hp, wp = feats_p.shape[0], feats_p.shape[1], feats_p.shape[2]
+    if use_pallas_packed_head(cfg, train=False):
+        from .pallas_packed_head import fused_packed_head
+
+        out_p = fused_packed_head(
+            params["head"], feats_p, f, dtype, two_stream=True, flat=True
+        )
     else:
-        scale = jnp.zeros_like(out)
-        dense = jax.nn.relu(out)
-    return dense, scale
+        out_p = packed_head_apply(
+            params["head"], feats_p, f, dtype, two_stream=True
+        ).reshape(b, hp, wp * f * f)
+    out_p = out_p.astype(jnp.float32)
+    if cfg.occupancy_model:
+        scale_p = jax.nn.relu(out_p)
+        dense_p = scale_p * score_packed.astype(jnp.float32)
+    else:
+        scale_p = jnp.zeros_like(out_p)
+        dense_p = jax.nn.relu(out_p)
+    return dense_p, scale_p
 
 
 def popcorn_forward(
@@ -298,10 +332,10 @@ def popcorn_forward(
         )
         if unet_no_grad:
             feats_p = lax.stop_gradient(feats_p)
-        if getattr(cfg, "pallas_packed_head", False) and not train:
-            # experimental Pallas packed-head kernel: measured SLOWER than
-            # the XLA block-diag matmuls on v5e (5.15 vs 6.38 patches/s at
-            # TILE=256), so off by default; kept for future tuning.
+        if use_pallas_packed_head(cfg, train):
+            # Pallas fused packed head: the block-diagonal VMEM pipeline is
+            # ~2.6x the XLA block-diag matmuls on v5e (round-1's dense
+            # kernel was slower; see nn/pallas_packed_head.py docstring)
             from .pallas_packed_head import fused_packed_head
 
             out_p = fused_packed_head(

@@ -69,3 +69,15 @@ def test_fused_packed_head_matches_xla(head_params, rng):
     ref = np.asarray(unpack_scalar(packed_head_apply(head_params, fp, 4), 4))
     got = np.asarray(unpack_scalar(fused_packed_head(head_params, fp, 4), 4))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_packed_head_flat_matches_xla(head_params, rng):
+    """flat=True output (B,Hp,Wp*ff) == XLA path reshaped (CPU interpret)."""
+    from popcorn_tpu.nn.packed import pack, packed_head_apply
+    from popcorn_tpu.nn.pallas_packed_head import fused_packed_head
+
+    feats16 = jnp.asarray(rng.standard_normal((1, 32, 32, 16)).astype(np.float32))
+    fp = jnp.concatenate([pack(feats16[..., :8], 4), pack(feats16[..., 8:], 4)], -1)
+    ref = np.asarray(packed_head_apply(head_params, fp, 4)).reshape(1, 8, 8 * 16)
+    got = np.asarray(fused_packed_head(head_params, fp, 4, flat=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
