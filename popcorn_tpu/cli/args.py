@@ -40,6 +40,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no_fused_head", dest="fused_head", action="store_false")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices on the 'data' mesh axis")
+    p.add_argument("--ensemble_parallel", type=int, default=1,
+                   help="devices on the 'ensemble' mesh axis: Bag-of-POPCORN "
+                        "members evaluate concurrently on a 2-D "
+                        "('data','ensemble') mesh (eval only)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.debug_nans: raise at the op that produced a NaN "
                         "(the reference's torch.autograd.set_detect_anomaly)")
@@ -84,6 +88,9 @@ def train_parser() -> argparse.ArgumentParser:
                    help="cap on weak samples drawn per epoch")
     p.add_argument("--val_in_memory", action="store_true",
                    help="preload validation rasters into host RAM")
+    p.add_argument("--watch_every", type=int, default=0,
+                   help=">0: log per-layer gradient norms and parameter "
+                        "histograms every N iters (reference wandb.watch)")
     p.add_argument("-mws", "--max_weak_samples", type=int, default=None)
     p.add_argument("-mwp", "--max_weak_pix", type=int, default=10_000_000)
     p.add_argument("-mpb", "--max_pix_box", type=int, default=12_000_000)
@@ -169,6 +176,7 @@ def train_config_from_args(a) -> TrainConfig:
         max_samples=a.max_samples,
         val_in_memory=a.val_in_memory,
         data_parallel=a.data_parallel,
+        watch_every=a.watch_every,
     )
 
 

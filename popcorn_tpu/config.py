@@ -343,6 +343,8 @@ class TrainConfig:
     data_parallel: int = 1  # number of mesh devices for batch sharding
     val_in_memory: bool = False  # preload validation rasters into host RAM
     # so mid-epoch -vi validation doesn't re-read windows from disk
+    watch_every: int = 0  # >0: log per-layer grad norms + param histograms
+    # every N iters (the reference's wandb.watch, run_train.py:75)
 
 
 @dataclasses.dataclass

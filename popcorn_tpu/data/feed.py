@@ -20,9 +20,12 @@ A background prefetch thread overlaps raster IO with device compute
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -30,6 +33,49 @@ from ..aug.augment import apply_geometric, draw_general, draw_photometric
 from .dataset import PopulationDataset
 
 DEFAULT_LADDER = (256, 512, 1024, 1536, 2048, 3072, 4096)
+
+
+def _ordered_map(
+    fn: Callable, seq: Iterable, num_workers: int, window: int
+) -> Iterator:
+    """``map(fn, seq)`` with a pool of worker threads, yielding results in
+    input order via a sliding window of at most ``window`` in-flight items.
+
+    The TPU equivalent of the reference's ``DataLoader(num_workers=N)``
+    process pool (run_train.py:431): threads suffice because the native
+    GeoTIFF reader does its tile decode in C++ (zlib inflate releases the
+    GIL) and is safe for concurrent reads on one handle (per-handle IO
+    mutex, io/native/geotiff.cpp). Order preservation keeps the batch
+    stream bit-identical for every worker count.
+    """
+    if num_workers <= 1:
+        for x in seq:
+            yield fn(x)
+        return
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        futs: deque = deque()
+        it = iter(seq)
+        for x in itertools.islice(it, max(window, num_workers)):
+            futs.append(ex.submit(fn, x))
+        for x in it:
+            nxt = futs.popleft()
+            futs.append(ex.submit(fn, x))
+            yield nxt.result()
+        while futs:
+            yield futs.popleft().result()
+
+
+def _item_rng(seed: int, epoch: int, j: int) -> np.random.Generator:
+    """Per-sample RNG derived from (seed, epoch, position): sample draws
+    (season, orbit, NaN healing) no longer thread one sequential stream, so
+    the stream is identical for any ``num_workers``."""
+    return np.random.default_rng(np.random.SeedSequence([seed, epoch, int(j)]))
+
+
+def _batch_rng(seed: int, epoch: int, b: int) -> np.random.Generator:
+    """Per-batch RNG (geometric/photometric draws); the extra trailing 1
+    keeps it on a different SeedSequence stream than _item_rng."""
+    return np.random.default_rng(np.random.SeedSequence([seed, epoch, int(b), 1]))
 
 
 def bucket_dim(n: int, ladder: Sequence[int] = DEFAULT_LADDER) -> int:
@@ -83,6 +129,7 @@ class WeaksupFeed:
         building_input: bool = False,
         segmentation_input: bool = False,
         max_samples: Optional[int] = None,
+        num_workers: int = 1,
     ):
         self.datasets = list(datasets)
         self.batch_size = batch_size
@@ -91,6 +138,7 @@ class WeaksupFeed:
         self.augment = augment
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.building_input = building_input
         self.segmentation_input = segmentation_input
         self.max_samples = max_samples
@@ -157,23 +205,39 @@ class WeaksupFeed:
         if self.max_samples is not None:
             # -ms epoch sample cap (reference arguments/train.py:58)
             order = order[: self.max_samples]
-        # group by bucket shape so batch members share a static shape
-        pending: Dict[Tuple[int, int], List[Dict]] = {}
-        for j in order:
+
+        def fetch(j: int) -> Optional[Dict]:
             d, i = self.index[j]
             try:
-                item = self.datasets[d].get_admin_item(i, rng)
+                return self.datasets[d].get_admin_item(
+                    i, _item_rng(self.seed, epoch, j)
+                )
             except ValueError:
-                continue  # unhealable sample ("No data here!"), skip
+                return None  # unhealable sample ("No data here!"), skip
+
+        items_in_order = _ordered_map(
+            fetch, order, self.num_workers,
+            window=self.num_workers + max(2, self.prefetch),
+        )
+        # group by bucket shape so batch members share a static shape
+        pending: Dict[Tuple[int, int], List[Dict]] = {}
+        nb = 0
+        for item in items_in_order:
+            if item is None:
+                continue
             h, w = item["admin_mask"].shape
             key = (bucket_dim(h, self.ladder), bucket_dim(w, self.ladder))
             pending.setdefault(key, []).append(item)
             if len(pending[key]) == self.batch_size:
-                yield self._make_batch(pending.pop(key), rng)
+                yield self._make_batch(
+                    pending.pop(key), _batch_rng(self.seed, epoch, nb)
+                )
+                nb += 1
         if not self.drop_last:
             for items in pending.values():
                 if items:
-                    yield self._make_batch(items, rng)
+                    yield self._make_batch(items, _batch_rng(self.seed, epoch, nb))
+                    nb += 1
 
     def epoch(self, epoch: int) -> Iterator[Dict]:
         """Iterate one epoch with background prefetch."""
@@ -215,10 +279,12 @@ class InferenceFeed:
         *,
         batch_size: int = 1,
         prefetch: int = 2,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -226,9 +292,13 @@ class InferenceFeed:
 
     def _batches(self) -> Iterator[Dict]:
         n = len(self.dataset)
+        fetched = _ordered_map(
+            self.dataset.get_test_item, range(n), self.num_workers,
+            window=self.num_workers + max(2, self.prefetch) * self.batch_size,
+        )
         for s in range(0, n, self.batch_size):
-            idxs = list(range(s, min(n, s + self.batch_size)))
-            items = [self.dataset.get_test_item(i) for i in idxs]
+            k = min(n, s + self.batch_size) - s
+            items = [next(fetched) for _ in range(k)]
             npad = self.batch_size - len(items)
             batch: Dict = {}
             for key in ("S2", "S1", "VIIRS", "building_counts"):

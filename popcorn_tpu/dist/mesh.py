@@ -23,14 +23,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_data: Optional[int] = None, devices: Optional[Sequence] = None
+    n_data: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    n_ensemble: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over the fastest (ICI) axis."""
+    """Device mesh over ICI.
+
+    ``n_ensemble=1`` (default): 1-D ``('data',)`` mesh for data-parallel
+    training / patch-sharded inference. ``n_ensemble>1``: 2-D
+    ``('data','ensemble')`` mesh — Bag-of-POPCORN members shard over
+    'ensemble' while the patch batch shards over 'data', so an 8-chip pod
+    evaluates member x patch pairs concurrently (the reference runs the 5
+    members sequentially on one GPU, run_eval.py:108-115). 'ensemble' is
+    the minor (fastest-varying) axis so each member group's patch
+    collectives ride contiguous ICI neighbours.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    n = n_data or len(devices)
-    if n > len(devices):
-        raise ValueError(f"requested {n} devices, only {len(devices)} available")
-    return Mesh(np.asarray(devices[:n]), axis_names=("data",))
+    if n_ensemble <= 1:
+        n = n_data or len(devices)
+        if n > len(devices):
+            raise ValueError(f"requested {n} devices, only {len(devices)} available")
+        return Mesh(np.asarray(devices[:n]), axis_names=("data",))
+    nd = n_data or max(1, len(devices) // n_ensemble)
+    need = nd * n_ensemble
+    if need > len(devices):
+        raise ValueError(
+            f"requested {nd}x{n_ensemble} mesh, only {len(devices)} devices available"
+        )
+    return Mesh(
+        np.asarray(devices[:need]).reshape(nd, n_ensemble),
+        axis_names=("data", "ensemble"),
+    )
+
+
+def ensemble_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or "ensemble" not in mesh.axis_names:
+        return 1
+    return mesh.shape["ensemble"]
 
 
 def batch_sharding(mesh: Optional[Mesh]):

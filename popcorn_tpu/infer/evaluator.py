@@ -104,6 +104,7 @@ class Evaluator:
                 self.members, self.consts, self.mcfg, ds,
                 stats=self.stats, batch_size=self.ecfg.patch_batch,
                 mesh=self.mesh, progress=True,
+                num_workers=self.ecfg.num_workers,
             )
             if save:
                 ds.save(maps["map"], self.experiment_folder)

@@ -28,7 +28,7 @@ from ..config import ModelConfig
 from ..data.dataset import PopulationDataset
 from ..data.feed import InferenceFeed
 from ..data.normalize import NormStats, normalize_and_assemble
-from ..dist.mesh import batch_sharding, replicated
+from ..dist.mesh import batch_sharding, ensemble_size, replicated
 from ..nn.popcorn import popcorn_forward
 
 Tree = Dict[str, Any]
@@ -37,6 +37,20 @@ Tree = Dict[str, Any]
 def stack_ensemble(params_list: Sequence[Tree]) -> Tree:
     """Stack N member param trees along a new leading axis for vmap."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def pad_stacked_members(stacked: Tree, n_members: int, multiple: int) -> Tree:
+    """Pad the stacked member axis up to a multiple of the mesh's
+    'ensemble' size (padding repeats member 0; the fold discards padded
+    members by slicing the gathered per-member maps to ``n_members``)."""
+    n_pad = -(-n_members // multiple) * multiple
+    if n_pad == n_members:
+        return stacked
+    rep = n_pad - n_members
+    return jax.tree.map(
+        lambda a: jnp.concatenate([a, jnp.repeat(a[:1], rep, axis=0)], axis=0),
+        stacked,
+    )
 
 
 def make_patch_forward(
@@ -173,6 +187,88 @@ def make_patch_forward(
             "count": m * n_members,
         }
 
+    def members_ens(stacked_params, x, score, mask, valid):
+        """Member fold with the Bag sharded over the mesh's 'ensemble' axis
+        (runs under shard_map: ``stacked_params`` is this shard's members,
+        ``x``/``score``/``mask``/``valid`` this shard's patches).
+
+        Each shard computes its local members' per-member maps, the maps
+        are all_gathered over 'ensemble' (so member order is restored),
+        and the first ``n_members`` are folded SEQUENTIALLY — the same
+        addition order as the single-device lax.scan, so results are
+        bit-identical to the scan fold (tests/test_multichip.py)."""
+        from ..nn.packed import pack, unpack_scalar
+        from ..nn.popcorn import packed_member_maps, prepare_packed_streams
+
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+
+        sar_p, opt_p, f = prepare_packed_streams(x, mcfg_member)
+        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
+
+        def fold(dense_all, scale_all, zeros):
+            def body(carry, ms):
+                d, s = ms
+                ds, dsq, ss, ssq = carry
+                return (ds + d, dsq + d**2, ss + s, ssq + s**2), None
+
+            (ds, dsq, ss, ssq), _ = jax.lax.scan(
+                body, (zeros, zeros, zeros, zeros),
+                (dense_all[:n_members], scale_all[:n_members]),
+            )
+            return ds, dsq, ss, ssq
+
+        if f > 1:
+            bp, hp, wpf = sar_p.shape[0], sar_p.shape[1], sar_p.shape[2]
+            ff = f * f
+
+            def to_flat(a3):
+                return pack(a3[..., None].astype(jnp.float32), f).reshape(
+                    bp, hp, wpf * ff
+                )
+
+            def from_flat(a):
+                return unpack_scalar(a.reshape(bp, hp, wpf, ff), f)
+
+            score3 = score if score.ndim == 3 else score[..., 0]
+            score_p = to_flat(score3)
+
+            def one(params):
+                return packed_member_maps(
+                    params, consts, sar_p, opt_p, f, score_p, mcfg_member
+                )
+
+            local_d, local_s = jax.lax.map(one, stacked_params)
+            dense_all = jax.lax.all_gather(local_d, "ensemble", axis=0, tiled=True)
+            scale_all = jax.lax.all_gather(local_s, "ensemble", axis=0, tiled=True)
+            zeros_p = jnp.zeros(score_p.shape, jnp.float32)
+            ds, dsq, ss, ssq = fold(dense_all, scale_all, zeros_p)
+            m_p = to_flat(m)
+            return {
+                "dense_sum": from_flat(ds * m_p),
+                "dense_sq": from_flat(dsq * m_p),
+                "scale_sum": from_flat(ss * m_p),
+                "scale_sq": from_flat(ssq * m_p),
+                "count": m * n_members,
+            }
+
+        inputs = {"input": x, "building_counts": score}
+
+        def one(params):
+            return member_forward(params, inputs)
+
+        local_d, local_s = jax.lax.map(one, stacked_params)
+        dense_all = jax.lax.all_gather(local_d, "ensemble", axis=0, tiled=True)
+        scale_all = jax.lax.all_gather(local_s, "ensemble", axis=0, tiled=True)
+        zeros = jnp.zeros((b, h, w), jnp.float32)
+        ds, dsq, ss, ssq = fold(dense_all, scale_all, zeros)
+        return {
+            "dense_sum": ds * m,
+            "dense_sq": dsq * m,
+            "scale_sum": ss * m,
+            "scale_sq": ssq * m,
+            "count": m * n_members,
+        }
+
     needs_counts = mcfg.occupancy_model and not mcfg.sentinel_buildings
     _PREP_KEYS = ("S2", "S1", "VIIRS", "building_counts")
 
@@ -204,6 +300,8 @@ def make_patch_forward(
         return members(stacked_params, x, score, batch["mask"], batch["valid"])
 
     if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
         keys = []
@@ -216,11 +314,26 @@ def make_patch_forward(
         if needs_counts:
             keys.append("building_counts")
         prep_j = jax.jit(prep, in_shardings=({k: bs for k in keys},), out_shardings=bs)
-        members_j = jax.jit(
-            members,
-            in_shardings=(rep, bs, bs, bs, bs),
-            out_shardings=bs,
-        )
+        if ensemble_size(mesh) > 1:
+            # 2-D ('data','ensemble') mesh: members shard over 'ensemble',
+            # patches over 'data'. check_vma=False because the gathered
+            # fold is replicated over 'ensemble' by construction (the VMA
+            # system conservatively keeps all_gather outputs 'varying').
+            members_j = jax.jit(
+                jax.shard_map(
+                    members_ens,
+                    mesh=mesh,
+                    in_specs=(P("ensemble"), P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+        else:
+            members_j = jax.jit(
+                members,
+                in_shardings=(rep, bs, bs, bs, bs),
+                out_shardings=bs,
+            )
         return fn_factory(prep_j, members_j)
     if single_dispatch:
         # one fused jit per patch: slower first compile (persistent-cached),
@@ -324,6 +437,7 @@ def run_sliding_inference(
     mesh=None,
     progress: bool = False,
     device_stitch: str = "auto",
+    num_workers: int = 1,
 ) -> Dict[str, np.ndarray]:
     """Full-region ensemble inference -> stitched mean/std maps.
 
@@ -334,6 +448,17 @@ def run_sliding_inference(
     """
     stats = stats or NormStats()
     stacked = stack_ensemble(list(members))
+    ne = ensemble_size(mesh)
+    if ne > 1:
+        stacked = pad_stacked_members(stacked, len(members), ne)
+    if mesh is not None:
+        # commit the member stack to its mesh sharding ONCE (otherwise the
+        # jit resharding transfer repeats on every patch batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = jax.device_put(
+            stacked, NamedSharding(mesh, P("ensemble") if ne > 1 else P())
+        )
     fwd = make_patch_forward(mcfg, consts, stats, len(members), mesh=mesh)
     h, w = dataset.shape()
 
@@ -354,7 +479,9 @@ def run_sliding_inference(
         }
         stitch_add = _make_stitch_add(batch_size)
 
-    feed = InferenceFeed(dataset, batch_size=batch_size, prefetch=2)
+    feed = InferenceFeed(
+        dataset, batch_size=batch_size, prefetch=2, num_workers=num_workers
+    )
     it = feed
     if progress:
         from tqdm import tqdm

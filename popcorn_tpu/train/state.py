@@ -150,6 +150,17 @@ def make_train_step(
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key, encoder_no_grad, unet_no_grad
         )
+        if getattr(tcfg, "watch_every", 0) > 0:
+            # per-layer gradient norms for the wandb.watch equivalent
+            # (reference run_train.py:75); scalars only, so the extra
+            # device->host traffic per step is a few hundred bytes
+            flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+            aux["watch"] = {
+                jax.tree_util.keystr(path): jnp.sqrt(
+                    jnp.sum(leaf.astype(jnp.float32) ** 2)
+                )
+                for path, leaf in flat
+            }
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux

@@ -123,6 +123,7 @@ class Trainer:
             building_input=mcfg.building_input,
             segmentation_input=mcfg.segmentation_input,
             max_samples=tcfg.max_samples,
+            num_workers=tcfg.num_workers,
         )
 
         # model ---------------------------------------------------------------
@@ -248,6 +249,13 @@ class Trainer:
             if np.isinf(loss):
                 raise FloatingPointError("detected Inf loss..")
 
+            watch = aux.pop("watch", None)
+            if (
+                watch is not None
+                and self.info["iter"] % self.tcfg.watch_every == 0
+            ):
+                self.log_watch(watch)
+
             self.pred_buffer.add(np.asarray(aux.pop("popcount")))
             self.target_buffer.add(np.asarray(batch["y"]))
             for k, v in aux.items():
@@ -268,6 +276,20 @@ class Trainer:
         if nlog:
             self.log_train(stats, nlog)
         return stats
+
+    def log_watch(self, grad_norms: Dict[str, "np.floating"]):
+        """wandb.watch equivalent (reference run_train.py:75): per-layer
+        gradient norms as scalars + parameter histograms."""
+        self.logger.log(
+            {f"grad_norm{k}": float(v) for k, v in grad_norms.items()},
+            self.info["iter"],
+        )
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
+        for path, leaf in flat:
+            self.logger.log_histogram(
+                f"param{jax.tree_util.keystr(path)}", np.asarray(leaf),
+                self.info["iter"],
+            )
 
     def log_train(self, stats, nlog):
         out = {k: v / max(nlog, 1) for k, v in stats.items()}
@@ -367,6 +389,7 @@ class Trainer:
                 seed=self.tcfg.seed, augment=False, drop_last=False,
                 building_input=self.mcfg.building_input,
                 segmentation_input=self.mcfg.segmentation_input,
+                num_workers=self.tcfg.num_workers,
             )
         return self._val_feeds[key]
 
@@ -377,6 +400,7 @@ class Trainer:
             maps = run_sliding_inference(
                 [self.params], self.consts, self.mcfg, ds,
                 stats=self.stats, batch_size=self.test_patch_batch,
+                num_workers=self.tcfg.num_workers,
             )
             if save:
                 ds.save(maps["map"], self.experiment_folder)

@@ -58,6 +58,33 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_histogram(self, name: str, values, step: int, bins: int = 64):
+        """Histogram record (the wandb.watch parameter/gradient histograms,
+        reference run_train.py:75) -> histograms.jsonl + wandb mirror."""
+        import numpy as np
+
+        v = np.asarray(values, np.float32).ravel()
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return
+        counts, edges = np.histogram(v, bins=bins)
+        rec = {
+            "step": step,
+            "name": name,
+            "counts": counts.tolist(),
+            "edges": [float(edges[0]), float(edges[-1])],
+            "mean": float(v.mean()),
+            "std": float(v.std()),
+        }
+        path = os.path.join(os.path.dirname(self.path), "histograms.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(
+                {name: self._wandb.Histogram(np_histogram=(counts, edges))},
+                step=step,
+            )
+
 
 class NumberList:
     """Fixed-window ring buffer for running R² (utils/utils.py:218-242)."""

@@ -24,7 +24,11 @@ def main():
     mcfg = model_config_from_args(args)
     ecfg = eval_config_from_args(args)
 
-    mesh = make_mesh(args.data_parallel) if args.data_parallel > 1 else None
+    mesh = (
+        make_mesh(args.data_parallel, n_ensemble=args.ensemble_parallel)
+        if args.data_parallel > 1 or args.ensemble_parallel > 1
+        else None
+    )
     ev = Evaluator(paths, mcfg, ecfg, mesh=mesh, use_wandb=args.wandb)
     print("Experiment folder:", ev.experiment_folder)
 

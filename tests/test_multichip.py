@@ -148,6 +148,67 @@ def test_sharded_inference_matches_single_device(tmp_path):
     ds.close()
 
 
+def test_ensemble_sharded_inference_matches_scan_fold(tmp_path):
+    """Bag-of-POPCORN members sharded over the mesh's 'ensemble' axis
+    (VERDICT round 1, item #6). On an ensemble-only (1,4) mesh the
+    gathered per-member maps are folded in the same member order with the
+    same per-patch batch as the single-device lax.scan fold; agreement is
+    at the 1-ulp level (rtol 3e-7 measured) — XLA fuses the scan-body
+    accumulate into the member forward differently than the map+gather
+    program, so the last-bit rounding of the member maps can differ, but
+    the fold math itself is identical (no approximation). 5 members on an
+    ensemble axis of 4 also exercises member padding. The full 2-D (2,4)
+    mesh additionally shards the patch batch, which changes conv
+    internals (per-shard B=1 vs B=2) — same tolerance as
+    test_sharded_inference_matches_single_device."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.dist.mesh import ensemble_size, make_mesh
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.nn.init import init_popcorn
+
+    paths = make_synthetic_region(str(tmp_path), "rwa", height=192, width=256, seed=7)
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(3), mcfg)
+    members = [
+        jax.tree.map(lambda x, s=s: x * (1.0 + 0.01 * s), params) for s in range(5)
+    ]
+
+    ds = PopulationDataset(
+        paths, "rwa", mode="test", patchsize=96, overlap=16, fourseasons=False
+    )
+    single = run_sliding_inference(members, consts, mcfg, ds, batch_size=2)
+
+    mesh_e = make_mesh(n_data=1, n_ensemble=4)
+    assert ensemble_size(mesh_e) == 4
+    with mesh_e:
+        ens = run_sliding_inference(members, consts, mcfg, ds, batch_size=2, mesh=mesh_e)
+    for k in ("map", "scale"):
+        np.testing.assert_allclose(
+            ens[k], single[k], rtol=1e-6, atol=1e-9, err_msg=k
+        )
+    for k in ("map_std", "scale_std"):
+        np.testing.assert_allclose(
+            ens[k], single[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    np.testing.assert_array_equal(ens["count"], single["count"])
+
+    mesh2 = make_mesh(n_data=2, n_ensemble=4)
+    assert mesh2.shape == {"data": 2, "ensemble": 4}
+    with mesh2:
+        sharded = run_sliding_inference(
+            members, consts, mcfg, ds, batch_size=2, mesh=mesh2
+        )
+    np.testing.assert_allclose(sharded["map"], single["map"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        sharded["map_std"], single["map_std"], rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(sharded["scale"], single["scale"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(sharded["count"], single["count"])
+    ds.close()
+
+
 def test_device_stitch_matches_host(tmp_path):
     """Device-side accumulator stitching == host stitching exactly."""
     from popcorn_tpu.config import ModelConfig

@@ -43,3 +43,50 @@ def test_new_log_and_metrics(tmp_path):
     nl = NumberList(3)
     nl.add([1, 2, 3, 4])
     assert nl.get() == [2.0, 3.0, 4.0]
+
+
+def test_log_histogram(tmp_path):
+    folder, _, _ = new_log(str(tmp_path))
+    lg = MetricsLogger(folder)
+    lg.log_histogram("param/head/l1/w", np.random.default_rng(0).normal(size=256), 7)
+    path = os.path.join(folder, "histograms.jsonl")
+    rec = json.loads(open(path).read().strip())
+    assert rec["name"] == "param/head/l1/w" and rec["step"] == 7
+    assert sum(rec["counts"]) == 256 and len(rec["counts"]) == 64
+    # empty / non-finite input is a no-op, not a crash
+    lg.log_histogram("x", np.asarray([np.nan, np.inf]), 8)
+    assert len(open(path).read().strip().splitlines()) == 1
+
+
+def test_train_step_watch_aux():
+    """watch_every>0 puts per-layer grad norms into the step aux
+    (the wandb.watch equivalent, reference run_train.py:75)."""
+    import jax
+
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    mcfg = ModelConfig(pretrained=False)
+    tcfg = TrainConfig(watch_every=5)
+    params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 64, 64
+    ids = np.tile(np.arange(1, b + 1, dtype=np.float32)[:, None, None], (1, h, w))
+    batch = {
+        "S2": rng.uniform(0, 4000, (b, h, w, 4)).astype(np.float32),
+        "S1": rng.uniform(-25, 0, (b, h, w, 2)).astype(np.float32),
+        "admin_mask": ids,
+        "census_idx": np.arange(1, b + 1, dtype=np.float32),
+        "y": rng.uniform(10, 1000, (b,)).astype(np.float32),
+        "photometric": np.asarray([0.0, 1.0, 0.0, 1.0], np.float32),
+    }
+    _, _, aux = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert "watch" in aux and len(aux["watch"]) > 10
+    assert all(np.isfinite(float(v)) for v in aux["watch"].values())
+    # head gradients must be nonzero
+    assert any("head" in k and float(v) > 0 for k, v in aux["watch"].items())
