@@ -279,8 +279,13 @@ class ModelConfig:
     layout: str = "auto"  # "auto": space-to-depth packed engine when shapes allow
     fused_head: bool = False  # use the Pallas fused 1x1-conv head (plain layout)
     pallas_packed_head: Optional[bool] = None  # Pallas fused packed head
-    # (block-diagonal VMEM pipeline, ~2.6x the XLA block-diag matmuls on
-    # v5e); None = auto: on for inference on TPU, off elsewhere
+    # (block-diagonal VMEM pipeline, 3.6 vs 9.0 ms standalone on v5e, but
+    # its custom-call layout constraint degrades neighbouring XLA convs:
+    # the full fold measured 129 vs 115 ms); None = follows pallas_stream
+    pallas_stream: Optional[bool] = None  # fused VMEM UNet-block kernels
+    # (nn/pallas_conv.py: whole DoubleConv/Up blocks as single Pallas
+    # kernels, double-buffered DMA); None = off — measured at parity with
+    # XLA's ~92%-MXU-bound lifted convs (PERF_NOTES.md roofline analysis)
     remat_unet: bool = False  # jax.checkpoint the UNet blocks to save HBM
 
     @property

@@ -232,7 +232,30 @@ def pool_packed(x: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
     return x.reshape(b, hp, wp, g * g * c)
 
 
-def packed_double_conv(p: Tree, bn: Tree, x: jnp.ndarray, f: int, dtype=None) -> jnp.ndarray:
+def _pallas_grid_ok(x: jnp.ndarray) -> bool:
+    """The fused kernels require a sublane-aligned packed grid width
+    (Mosaic DMA slice constraint); odd widths (e.g. the builder's
+    reflect-pad-14 grid, 2076/4 = 519) fall back to the XLA path."""
+    return x.shape[2] % 8 == 0
+
+
+def packed_double_conv(
+    p: Tree, bn: Tree, x: jnp.ndarray, f: int, dtype=None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    if use_pallas and _pallas_grid_ok(x):
+        from .pallas_conv import fused_double_conv
+
+        return fused_double_conv(
+            x,
+            lift_conv3x3(p["conv1"]["w"], f), lift_vec(p["conv1"]["b"], f),
+            {"scale": lift_vec(bn["bn1"]["scale"], f),
+             "shift": lift_vec(bn["bn1"]["shift"], f)},
+            lift_conv3x3(p["conv2"]["w"], f), lift_vec(p["conv2"]["b"], f),
+            {"scale": lift_vec(bn["bn2"]["scale"], f),
+             "shift": lift_vec(bn["bn2"]["shift"], f)},
+            dtype=dtype,
+        )
     y = conv_packed(x, lift_conv3x3(p["conv1"]["w"], f), dtype)
     y = y + lift_vec(p["conv1"]["b"], f).astype(y.dtype)
     y = jax.nn.relu(
@@ -256,9 +279,27 @@ def _packed_up(
     f: int,
     c_skip: int,
     dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Up block: tconv(x1, f/2 -> f) + two-part lifted DoubleConv over
     concat([x2, up]) without materialising the channel permutation."""
+    if use_pallas and _pallas_grid_ok(x2):
+        from .pallas_conv import fused_up_block
+
+        w1 = p_up["conv"]["conv1"]["w"]
+        return fused_up_block(
+            x1, x2,
+            lift_tconv(p_up["tconv"]["w"], f), lift_vec(p_up["tconv"]["b"], f),
+            lift_conv3x3(w1[:, :, :c_skip], f), lift_conv3x3(w1[:, :, c_skip:], f),
+            lift_vec(p_up["conv"]["conv1"]["b"], f),
+            {"scale": lift_vec(bn_up["bn1"]["scale"], f),
+             "shift": lift_vec(bn_up["bn1"]["shift"], f)},
+            lift_conv3x3(p_up["conv"]["conv2"]["w"], f),
+            lift_vec(p_up["conv"]["conv2"]["b"], f),
+            {"scale": lift_vec(bn_up["bn2"]["scale"], f),
+             "shift": lift_vec(bn_up["bn2"]["shift"], f)},
+            dtype=dtype,
+        )
     up = matmul_lanes(x1, lift_tconv(p_up["tconv"]["w"], f), dtype)
     up = up + lift_vec(p_up["tconv"]["b"], f).astype(up.dtype)
     w1 = p_up["conv"]["conv1"]["w"]  # (3,3, c_skip + c_up, cout)
@@ -289,29 +330,34 @@ def packed_unet_stream(
     dtype=None,
     t0: int = 8,
     t1: int = 16,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """One UNet stream fully in packed space. Input x is already packed at
     f0; returns 8ch features packed at f0. Requires f0 in {2,4}.
 
     Level pack factors: L0=f0, L1=f0/2, L2=f0/4 (>=1). When f0=2, L1 runs
     at f=1 (plain layout on the half-res grid) and L2 likewise.
+
+    use_pallas: run every DoubleConv/Up block as a fused VMEM kernel
+    (nn/pallas_conv.py) — inference path only (no autodiff).
     """
     f1 = max(f0 // 2, 1)
     f2 = max(f0 // 4, 1)
+    pk = use_pallas and not encoder_stop_grad
 
-    x1 = packed_double_conv(p["inc"], bn["inc"], x, f0, dtype)  # L0, f0
+    x1 = packed_double_conv(p["inc"], bn["inc"], x, f0, dtype, use_pallas=pk)
     d1_in = pool_packed(x1, f0, t0)  # L1 at f1 (grid Hp when f0=4)
     if f0 == 2:
         # pool_packed produced f=1 on the L0 grid == plain half-res. ok.
         pass
-    d1 = packed_double_conv(p["down1"], bn["down1"], d1_in, f1, dtype)  # L1
+    d1 = packed_double_conv(p["down1"], bn["down1"], d1_in, f1, dtype, use_pallas=pk)
     if f1 >= 2:
         d2_in = pool_packed(d1, f1, t1)
     else:
         from .ops import max_pool_2x2
 
         d2_in = max_pool_2x2(d1)
-    d2 = packed_double_conv(p["down2"], bn["down2"], d2_in, f2, dtype)  # L2
+    d2 = packed_double_conv(p["down2"], bn["down2"], d2_in, f2, dtype, use_pallas=pk)
 
     if encoder_stop_grad:
         x1 = lax.stop_gradient(x1)
@@ -319,14 +365,16 @@ def packed_unet_stream(
         d2 = lax.stop_gradient(d2)
 
     if f1 >= 2:
-        u2 = _packed_up(p["up2"], bn["up2"], d2, d1, f1, c_skip=t1, dtype=dtype)
+        u2 = _packed_up(p["up2"], bn["up2"], d2, d1, f1, c_skip=t1, dtype=dtype,
+                        use_pallas=pk)
     else:
         # f2==f1==1: plain tconv via packed 1x1 with f_out=2 then unpack? No:
         # f1==1 means L1 is plain; use the plain up block from nn.unet.
         from .unet import _up_block
 
         u2 = _up_block(p["up2"], bn["up2"], d2, d1, dtype)
-    u1 = _packed_up(p["up1"], bn["up1"], u2, x1, f0, c_skip=t0, dtype=dtype)
+    u1 = _packed_up(p["up1"], bn["up1"], u2, x1, f0, c_skip=t0, dtype=dtype,
+                    use_pallas=pk)
     return u1  # packed f0, 8ch
 
 
@@ -340,6 +388,7 @@ def packed_dual_stream_features(
     s2: bool = True,
     encoder_stop_grad: bool = False,
     dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Fused 16ch features, packed at f. x6 is the UNPACKED 6ch DDA input.
 
@@ -353,6 +402,7 @@ def packed_dual_stream_features(
             packed_unet_stream(
                 p["sar"], bn["sar"], pack(x6[..., :SAR_IN], f), f,
                 encoder_stop_grad=encoder_stop_grad, dtype=dtype,
+                use_pallas=use_pallas,
             )
         )
     if s2:
@@ -360,6 +410,7 @@ def packed_dual_stream_features(
             packed_unet_stream(
                 p["opt"], bn["opt"], pack(x6[..., SAR_IN:], f), f,
                 encoder_stop_grad=encoder_stop_grad, dtype=dtype,
+                use_pallas=use_pallas,
             )
         )
     return jnp.concatenate(feats, axis=-1)
@@ -372,11 +423,14 @@ def packed_fusion_logits_from_streams(
     bn: Tree,
     f: int,
     dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Fusion built-up logits from PRE-PACKED input streams (packed at f),
     avoiding a second reorder+pack when the caller already prepared them."""
-    sar_f = packed_unet_stream(p["sar"], bn["sar"], sar_p, f, dtype=dtype)
-    opt_f = packed_unet_stream(p["opt"], bn["opt"], opt_p, f, dtype=dtype)
+    sar_f = packed_unet_stream(p["sar"], bn["sar"], sar_p, f, dtype=dtype,
+                               use_pallas=use_pallas)
+    opt_f = packed_unet_stream(p["opt"], bn["opt"], opt_p, f, dtype=dtype,
+                               use_pallas=use_pallas)
     w = p["fusion_out"]["w"]  # (16, 1)
     ya = matmul_lanes(sar_f, kron_blockdiag(w[:8], f), dtype)
     yb = matmul_lanes(opt_f, kron_blockdiag(w[8:], f), dtype)
@@ -392,20 +446,29 @@ def packed_building_logits(
     s1: bool = True,
     s2: bool = True,
     dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Built-up logits, packed at f (1 unpacked channel -> f^2 lanes)."""
     if s1 and s2:
-        feats = packed_dual_stream_features(p, bn, x6, f, s1=True, s2=True, dtype=dtype)
+        feats = packed_dual_stream_features(
+            p, bn, x6, f, s1=True, s2=True, dtype=dtype, use_pallas=use_pallas
+        )
         w = p["fusion_out"]["w"]  # (16, 1)
         c = feats.shape[-1] // 2
         ya = matmul_lanes(feats[..., :c], kron_blockdiag(w[:8], f), dtype)
         yb = matmul_lanes(feats[..., c:], kron_blockdiag(w[8:], f), dtype)
         return ya + yb + lift_vec(p["fusion_out"]["b"], f).astype(ya.dtype)
     if s1:
-        feats = packed_unet_stream(p["sar"], bn["sar"], pack(x6[..., :SAR_IN], f), f, dtype=dtype)
+        feats = packed_unet_stream(
+            p["sar"], bn["sar"], pack(x6[..., :SAR_IN], f), f, dtype=dtype,
+            use_pallas=use_pallas,
+        )
         y = matmul_lanes(feats, kron_blockdiag(p["sar_out"]["w"], f), dtype)
         return y + lift_vec(p["sar_out"]["b"], f).astype(y.dtype)
-    feats = packed_unet_stream(p["opt"], bn["opt"], pack(x6[..., SAR_IN:], f), f, dtype=dtype)
+    feats = packed_unet_stream(
+        p["opt"], bn["opt"], pack(x6[..., SAR_IN:], f), f, dtype=dtype,
+        use_pallas=use_pallas,
+    )
     y = matmul_lanes(feats, kron_blockdiag(p["opt_out"]["w"], f), dtype)
     return y + lift_vec(p["opt_out"]["b"], f).astype(y.dtype)
 

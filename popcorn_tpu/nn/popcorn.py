@@ -91,6 +91,24 @@ def head_apply(
     return x
 
 
+def use_pallas_stream(cfg: ModelConfig, train: bool = False) -> bool:
+    """Gate for the fused Pallas UNet-block kernels (nn/pallas_conv.py).
+
+    Default OFF: measured on v5e at 2048^2, the fused double-buffered
+    kernels run the member fold at parity with XLA (107.9 vs 107.4 ms for
+    the 5-member scan) because XLA's lifted packed convs are already ~92%
+    MXU-bound — the 16x lane-fill FLOP blowup of the space-to-depth lift,
+    not HBM traffic, is the binding constraint (PERF_NOTES.md). The flag
+    remains for experimentation and as the vehicle for a future int8 path.
+    """
+    if train:
+        return False
+    v = getattr(cfg, "pallas_stream", None)
+    if v is None:
+        return False
+    return bool(v)
+
+
 def create_building_score(
     builder: Tree,
     x_input: jnp.ndarray,
@@ -100,6 +118,7 @@ def create_building_score(
     nir: bool,
     dtype=None,
     layout: str = "auto",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """On-the-fly built-up probability (model/popcorn.py:279-322).
 
@@ -117,7 +136,8 @@ def create_building_score(
     f = choose_pack_factor(hp, wp) if layout != "plain" else 1
     if f > 1:
         logits_p = packed_building_logits(
-            builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype
+            builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype,
+            use_pallas=use_pallas,
         )
         score3 = unpack_scalar(jax.nn.sigmoid(logits_p.astype(jnp.float32)), f)
     else:
@@ -191,12 +211,13 @@ def use_pallas_packed_head(cfg: ModelConfig, train: bool) -> bool:
         return False
     v = getattr(cfg, "pallas_packed_head", None)
     if v is None:
-        # default off: standalone the kernel is 2.6x the XLA block-diag
-        # matmuls, but inside the member scan the custom-call layout
-        # constraint degrades the neighbouring XLA convs (measured: the
-        # 0.4 ms lifted convs become 2.4 ms in a T(2,128) layout). It pays
-        # off only when the streams are Pallas too (pallas_stream).
-        return False
+        # auto: standalone the kernel is 2.6x the XLA block-diag matmuls,
+        # but next to XLA convs its custom-call layout constraint degrades
+        # them (measured: the 0.4 ms lifted convs become 2.4 ms in a
+        # T(2,128) layout) — so it follows the Pallas stream gate: when the
+        # UNet blocks are Pallas kernels there are no adjacent XLA convs
+        # left to poison.
+        return use_pallas_stream(cfg, train)
     return bool(v)
 
 
@@ -222,11 +243,14 @@ def packed_member_maps(
     from .packed import packed_head_apply, packed_unet_stream
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    pk = use_pallas_stream(cfg)
     sar_f = packed_unet_stream(
-        params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype
+        params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype,
+        use_pallas=pk,
     )
     opt_f = packed_unet_stream(
-        params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype
+        params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype,
+        use_pallas=pk,
     )
     feats_p = jnp.concatenate([sar_f, opt_f], axis=-1)
     b, hp, wp = feats_p.shape[0], feats_p.shape[1], feats_p.shape[2]
@@ -287,6 +311,7 @@ def popcorn_forward(
         building_counts = create_building_score(
             consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir,
             dtype=dtype, layout=layout,
+            use_pallas=use_pallas_stream(cfg, train),
         )
     else:
         building_counts = inputs["building_counts"]
@@ -329,6 +354,7 @@ def popcorn_forward(
             params["unet"], consts["unet_bn"], x6, f,
             s1=cfg.s1, s2=cfg.s2,
             encoder_stop_grad=encoder_no_grad, dtype=dtype,
+            use_pallas=use_pallas_stream(cfg, train),
         )
         if unet_no_grad:
             feats_p = lax.stop_gradient(feats_p)

@@ -1,0 +1,106 @@
+"""Fused Pallas UNet-block kernels == the XLA packed path (interpret mode
+on CPU; the same asserts run compiled on the real chip via bench/verify)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from popcorn_tpu.nn import packed as K
+from popcorn_tpu.nn.pallas_conv import fused_double_conv, fused_up_block
+
+
+def _mk(rng, shape, scale=0.3):
+    return jnp.asarray(rng.normal(size=shape), jnp.float32) * scale
+
+
+@pytest.fixture(scope="module")
+def rngk():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("f,h,w", [(4, 24, 40), (4, 16, 16), (2, 24, 40)])
+def test_fused_double_conv_matches_xla(rngk, f, h, w):
+    p = {
+        "conv1": {"w": _mk(rngk, (3, 3, 2, 8)), "b": _mk(rngk, (8,), 1.0)},
+        "conv2": {"w": _mk(rngk, (3, 3, 8, 8)), "b": _mk(rngk, (8,), 1.0)},
+    }
+    bn = {
+        "bn1": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
+        "bn2": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
+    }
+    x = _mk(rngk, (2, h, w, f * f * 2), 1.0)
+    ref = K.packed_double_conv(p, bn, x, f, dtype=None)
+    got = K.packed_double_conv(p, bn, x, f, dtype=None, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_up_block_matches_xla(rngk):
+    f, c_skip = 4, 8
+    p_up = {
+        "tconv": {"w": _mk(rngk, (16, 2, 2, 8)), "b": _mk(rngk, (8,), 1.0)},
+        "conv": {
+            "conv1": {"w": _mk(rngk, (3, 3, 16, 8)), "b": _mk(rngk, (8,), 1.0)},
+            "conv2": {"w": _mk(rngk, (3, 3, 8, 8)), "b": _mk(rngk, (8,), 1.0)},
+        },
+    }
+    bn_up = {
+        "bn1": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
+        "bn2": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
+    }
+    x1 = _mk(rngk, (1, 24, 40, 4 * 16), 1.0)  # coarse, packed at f/2
+    x2 = _mk(rngk, (1, 24, 40, 16 * c_skip), 1.0)  # skip, packed at f
+    ref = K._packed_up(p_up, bn_up, x1, x2, f, c_skip=c_skip, dtype=None)
+    got = K._packed_up(
+        p_up, bn_up, x1, x2, f, c_skip=c_skip, dtype=None, use_pallas=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_stream_matches_xla_stream(rngk):
+    """The whole packed UNet stream with every block fused == XLA blocks."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.init import init_popcorn
+
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(2), mcfg)
+    f = 4
+    x = _mk(rngk, (1, 16, 24, f * f * 2), 1.0)
+    ref = K.packed_unet_stream(
+        params["unet"]["sar"], consts["unet_bn"]["sar"], x, f, dtype=None
+    )
+    got = K.packed_unet_stream(
+        params["unet"]["sar"], consts["unet_bn"]["sar"], x, f, dtype=None,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_popcorn_forward_pallas_stream_matches(rngk):
+    """popcorn_forward with cfg.pallas_stream=True == the XLA packed path
+    (exercises the builder score + both streams + the Pallas packed head
+    auto-gate following the stream gate)."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.nn.popcorn import popcorn_forward
+
+    mcfg = ModelConfig(pretrained=False, occupancy_model=True)
+    params, consts = init_popcorn(jax.random.PRNGKey(3), mcfg)
+    x = _mk(rngk, (1, 64, 64, 6), 1.0)
+    inputs = {"input": x}
+    ref = popcorn_forward(
+        params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+    )
+    mcfg_p = ModelConfig(
+        pretrained=False, occupancy_model=True, pallas_stream=True
+    )
+    got = popcorn_forward(
+        params, consts, inputs, mcfg_p, train=False, padding=False, sparse=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["popdensemap"]), np.asarray(ref["popdensemap"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["popcount"]), np.asarray(ref["popcount"]), rtol=2e-4
+    )
