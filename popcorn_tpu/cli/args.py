@@ -44,6 +44,10 @@ def _add_common(p: argparse.ArgumentParser):
                    help="devices on the 'ensemble' mesh axis: Bag-of-POPCORN "
                         "members evaluate concurrently on a 2-D "
                         "('data','ensemble') mesh (eval only)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod: jax.distributed.initialize() + a "
+                        "DCN x ICI hybrid mesh (data-parallel across hosts, "
+                        "data/ensemble within each ICI slice)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.debug_nans: raise at the op that produced a NaN "
                         "(the reference's torch.autograd.set_detect_anomaly)")
@@ -176,6 +180,7 @@ def train_config_from_args(a) -> TrainConfig:
         max_samples=a.max_samples,
         val_in_memory=a.val_in_memory,
         data_parallel=a.data_parallel,
+        multihost=a.multihost,
         watch_every=a.watch_every,
     )
 

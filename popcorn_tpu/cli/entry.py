@@ -11,6 +11,11 @@ def train_main():
     from .args import model_config_from_args, train_config_from_args, train_parser
 
     args = train_parser().parse_args()
+    if args.multihost:
+        # must run before the first jax backend query on every host
+        import jax
+
+        jax.distributed.initialize()
     if args.debug_nans:
         import jax
 
@@ -36,7 +41,22 @@ def eval_main():
     from .args import eval_config_from_args, eval_parser, model_config_from_args
 
     args = eval_parser().parse_args()
-    mesh = make_mesh(args.data_parallel) if args.data_parallel > 1 else None
+    if getattr(args, "multihost", False):
+        import jax
+
+        from ..dist.mesh import make_multihost_mesh
+
+        jax.distributed.initialize()
+        mesh = make_multihost_mesh(
+            args.data_parallel if args.data_parallel > 1 else None,
+            n_ensemble=args.ensemble_parallel,
+        )
+    else:
+        mesh = (
+            make_mesh(args.data_parallel, n_ensemble=args.ensemble_parallel)
+            if args.data_parallel > 1 or args.ensemble_parallel > 1
+            else None
+        )
     ev = Evaluator(
         DataPaths(args.data_root),
         model_config_from_args(args),

@@ -346,6 +346,7 @@ class TrainConfig:
     # TPU-specific:
     bucket_ladder: Tuple[int, ...] = (256, 512, 1024, 1536, 2048, 3072, 4096)
     data_parallel: int = 1  # number of mesh devices for batch sharding
+    multihost: bool = False  # jax.distributed + DCN x ICI hybrid mesh
     val_in_memory: bool = False  # preload validation rasters into host RAM
     # so mid-epoch -vi validation doesn't re-read windows from disk
     watch_every: int = 0  # >0: log per-layer grad norms + param histograms

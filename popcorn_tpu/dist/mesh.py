@@ -62,6 +62,40 @@ def ensemble_size(mesh: Optional[Mesh]) -> int:
     return mesh.shape["ensemble"]
 
 
+def make_multihost_mesh(
+    n_data_per_host: Optional[int] = None, n_ensemble: int = 1
+) -> Mesh:
+    """Multi-host mesh: data-parallel over hosts (DCN) x data/ensemble
+    within each host's slice (ICI).
+
+    Call after ``jax.distributed.initialize()`` on every host. The
+    gradient psum then runs hierarchically: XLA reduces within each ICI
+    slice first and crosses DCN once per step, which is the layout the
+    scaling playbook prescribes (data-parallel across the slow network,
+    everything bandwidth-hungry on ICI). Degrades to a single-host
+    ('data',)/('data','ensemble') mesh under one process, so the training
+    CLI path is identical either way.
+    """
+    n_hosts = jax.process_count()
+    local = jax.local_device_count()
+    nd = n_data_per_host or max(1, local // n_ensemble)
+    if n_hosts == 1:
+        return make_mesh(nd, n_ensemble=n_ensemble)
+    from jax.experimental import mesh_utils
+
+    if n_ensemble > 1:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            (nd, n_ensemble), (n_hosts, 1), devices=jax.devices()
+        )
+        # flatten the (host, data) axes into one global 'data' axis
+        devices = devices.reshape(n_hosts * nd, n_ensemble)
+        return Mesh(devices, axis_names=("data", "ensemble"))
+    devices = mesh_utils.create_hybrid_device_mesh(
+        (nd,), (n_hosts,), devices=jax.devices()
+    )
+    return Mesh(devices.reshape(-1), axis_names=("data",))
+
+
 def batch_sharding(mesh: Optional[Mesh]):
     """NamedSharding that splits the leading (batch) axis across 'data'."""
     if mesh is None:

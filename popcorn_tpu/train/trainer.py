@@ -143,15 +143,30 @@ class Trainer:
         # replicated; XLA inserts the gradient psum (the capability the
         # reference lacks, SURVEY.md par.2.2)
         self.mesh = None
-        if tcfg.data_parallel > 1:
-            from ..dist.mesh import make_mesh, replicated
+        if tcfg.multihost or tcfg.data_parallel > 1:
+            from ..dist.mesh import make_mesh, make_multihost_mesh, replicated
 
-            if tcfg.weak_batch_size % tcfg.data_parallel != 0:
+            if tcfg.multihost:
+                # multi-host pod: DP across hosts over DCN, DP within each
+                # ICI slice. NOTE jax.distributed.initialize() must run
+                # before the first backend query — ideally at process start
+                # (the CLI does); this fallback covers library users.
+                try:
+                    if not jax.distributed.is_initialized():
+                        jax.distributed.initialize()
+                except Exception:
+                    pass  # single-process fallback (no coordinator env)
+                self.mesh = make_multihost_mesh(
+                    tcfg.data_parallel if tcfg.data_parallel > 1 else None
+                )
+            else:
+                self.mesh = make_mesh(tcfg.data_parallel)
+            n_mesh = self.mesh.shape["data"]
+            if tcfg.weak_batch_size % n_mesh != 0:
                 raise ValueError(
                     f"weak_batch_size ({tcfg.weak_batch_size}) must be divisible "
-                    f"by data_parallel ({tcfg.data_parallel})"
+                    f"by the data mesh size ({n_mesh})"
                 )
-            self.mesh = make_mesh(tcfg.data_parallel)
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)

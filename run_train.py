@@ -19,6 +19,11 @@ from popcorn_tpu.train.trainer import Trainer
 
 def main():
     args = train_parser().parse_args()
+    if args.multihost:
+        # must run before the first jax backend query on every host
+        import jax
+
+        jax.distributed.initialize()
     if args.debug_nans:
         import jax
 

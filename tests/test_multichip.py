@@ -258,3 +258,40 @@ def test_trainer_data_parallel(tmp_path):
     # params stayed consistent (replicated)
     leaf = jax.tree.leaves(tr.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_multihost_mesh_single_host_degrade():
+    """make_multihost_mesh under one process == the single-host mesh
+    (the multi-host DCN x ICI layout itself needs >1 process; the helper's
+    contract is that the CLI path is identical either way)."""
+    from popcorn_tpu.dist.mesh import ensemble_size, make_multihost_mesh
+
+    m = make_multihost_mesh(n_data_per_host=8)
+    assert m.axis_names == ("data",) and m.shape["data"] == 8
+    m2 = make_multihost_mesh(n_data_per_host=2, n_ensemble=4)
+    assert m2.axis_names == ("data", "ensemble")
+    assert m2.shape == {"data": 2, "ensemble": 4}
+    assert ensemble_size(m2) == 4
+
+
+def test_trainer_multihost_flag_single_process(tmp_path):
+    """Trainer with multihost=True under one process: degrades to the
+    local ('data',) mesh (the DCN axis appears only with >1 process) and
+    one epoch trains."""
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.train.trainer import Trainer
+
+    paths = make_synthetic_region(str(tmp_path / "d"), "rwa", height=128,
+                                  width=128, n_regions=(2, 2), seed=21)
+    tcfg = TrainConfig(
+        target_regions=("rwa",), target_regions_train=("rwa",),
+        train_level=("coarse",), num_epochs=1, weak_batch_size=8,
+        multihost=True, bucket_ladder=(128,), logstep_train=1,
+        save_dir=str(tmp_path / "out"),
+    )
+    tr = Trainer(paths, ModelConfig(pretrained=False), tcfg,
+                 inference_patch=128, inference_overlap=16)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    stats = tr.train_epoch()
+    assert np.isfinite(stats.get("optimization_loss", 0.0))
