@@ -117,6 +117,13 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--full", action="store_true", help="write detail maps")
     p.add_argument("--in_memory", action="store_true",
                    help="preload mosaics into RAM (reference arguments/eval.py:26)")
+    p.add_argument("--patchsize", type=int, default=2048,
+                   help="sliding-window patch size (reference constant "
+                        "inference_patch_size=2048, utils/constants.py:12; "
+                        "4096 cuts the halo-overlap waste from 31%% to 14%% "
+                        "extra pixels on TPU HBM)")
+    p.add_argument("--patch_overlap", type=int, default=128,
+                   help="sliding-window halo (reference overlap=128)")
     return p
 
 
@@ -196,4 +203,6 @@ def eval_config_from_args(a) -> EvalConfig:
         num_workers=a.num_workers,
         patch_batch=a.patch_batch,
         in_memory=getattr(a, "in_memory", False),
+        patchsize=getattr(a, "patchsize", 2048),
+        overlap=getattr(a, "patch_overlap", 128),
     )

@@ -85,7 +85,8 @@ class Evaluator:
 
         self.datasets = [
             PopulationDataset(
-                paths, reg, mode="test", patchsize=2048, overlap=128,
+                paths, reg, mode="test",
+                patchsize=ecfg.patchsize, overlap=ecfg.overlap,
                 s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir, viirs=mcfg.viirs,
                 fourseasons=ecfg.fourseasons,
                 ascfill=reg in NEED_ASCENDING_FILL,
