@@ -69,9 +69,15 @@ def main():
     stats = NormStats()
     n_members = len(members)
     stacked = stack_ensemble(members)
-    fwd = make_patch_forward(mcfg, consts, stats, n_members)
+    # the production eval path: packed member fold + packed-space device
+    # stitch-add (maps never leave the space-to-depth layout; one unpack
+    # runs per region at finalize — infer/sliding.py)
+    from popcorn_tpu.infer.sliding import _ACC_KEYS, _make_packed_stitch_adds
+
+    fwd = make_patch_forward(mcfg, consts, stats, n_members, packed_output=True)
 
     ips = 2048
+    f = 4
     batch = 1
     rng = np.random.default_rng(0)
     dev_batch = {
@@ -80,21 +86,31 @@ def main():
         "mask": jnp.ones((batch, ips, ips), jnp.float32),
         "valid": jnp.ones((batch,), jnp.float32),
     }
+    region = 4 * 2048  # a 4x4-patch region's accumulators stay on device
+    accs = {
+        k: jnp.zeros((region // f, (region // f) * f * f), jnp.float32)
+        for k in _ACC_KEYS
+    }
+    add_aligned, _ = _make_packed_stitch_adds(f)
+    xy0 = jnp.asarray((0, 0), jnp.int32)
 
     log("compiling...")
     t0 = time.time()
     res = fwd(stacked, dev_batch)
-    jax.block_until_ready(res)
+    accs = add_aligned(accs, res, xy0, 0)
+    jax.block_until_ready(accs)
     log(f"first call (compile+run): {time.time() - t0:.1f}s")
 
     # warmup + timed
     for _ in range(2):
-        jax.block_until_ready(fwd(stacked, dev_batch))
+        accs = add_aligned(accs, fwd(stacked, dev_batch), xy0, 0)
+    jax.block_until_ready(accs)
     iters = 10 if on_tpu else 2
     t0 = time.time()
     for _ in range(iters):
         res = fwd(stacked, dev_batch)
-    jax.block_until_ready(res)
+        accs = add_aligned(accs, res, xy0, 0)
+    jax.block_until_ready(accs)
     dt = time.time() - t0
     pps = iters * batch / dt
     log(f"{iters} iters in {dt:.3f}s -> {pps:.3f} ensemble-patches/s")

@@ -60,6 +60,7 @@ def make_patch_forward(
     n_members: int,
     mesh=None,
     single_dispatch: bool = False,
+    packed_output: bool = False,
 ):
     """Jitted ensemble patch forward.
 
@@ -160,6 +161,18 @@ def make_patch_forward(
                 body, (zeros_p, zeros_p, zeros_p, zeros_p), stacked_params
             )
             m_p = to_flat(m)
+            if packed_output:
+                # the accumulator maps NEVER leave the flat packed layout:
+                # the device stitcher adds them into packed country-scale
+                # accumulators and one unpack runs at finalize (the four
+                # per-patch unpack relayouts cost ~10 ms at 2048^2)
+                return {
+                    "dense_sum": ds * m_p,
+                    "dense_sq": dsq * m_p,
+                    "scale_sum": ss * m_p,
+                    "scale_sq": ssq * m_p,
+                    "count": m_p * n_members,
+                }
             return {
                 "dense_sum": from_flat(ds * m_p),
                 "dense_sq": from_flat(dsq * m_p),
@@ -416,14 +429,63 @@ def _make_stitch_add(batch_size: int):
         for b in range(batch_size):
             x, y = xy[b, 0], xy[b, 1]
             for k in _ACC_KEYS:
-                p = res[k].shape[-1]
-                cur = jax.lax.dynamic_slice(accs[k], (x, y), (p, p))
+                ph, pw = res[k].shape[-2], res[k].shape[-1]
+                cur = jax.lax.dynamic_slice(accs[k], (x, y), (ph, pw))
                 accs[k] = jax.lax.dynamic_update_slice(
                     accs[k], cur + res[k][b], (x, y)
                 )
         return accs
 
     return add
+
+
+def _make_packed_stitch_adds(f: int):
+    """Adds into FLAT PACKED country accumulators (B, Hc/f, Wc/f*f^2).
+
+    Aligned patches (x, y both multiples of f) land as contiguous packed
+    slabs. Border-clamped patches with misaligned starts (the reference
+    grid's tail rows/columns, PopulationDataset.py:294-334) are unpacked,
+    placed into an f-aligned canvas at their (x%f, y%f) offset, re-packed
+    and added at the floored coords — one jit specialisation per offset
+    pair (<= f^2-1 of them), touching only the handful of border patches.
+    """
+
+    import functools
+
+    from ..nn.packed import pack, unpack_scalar
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def add_aligned(accs, res, xy, b):
+        x, y = xy[0], xy[1]
+        for k in _ACC_KEYS:
+            ph, pw = res[k].shape[-2], res[k].shape[-1]
+            cur = jax.lax.dynamic_slice(accs[k], (x, y), (ph, pw))
+            accs[k] = jax.lax.dynamic_update_slice(
+                accs[k], cur + res[k][b], (x, y)
+            )
+        return accs
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,), static_argnums=(3, 4, 5)
+    )
+    def add_misaligned(accs, res, xy, ox, oy, b):
+        x, y = xy[0], xy[1]
+        ff = f * f
+        for k in _ACC_KEYS:
+            php, pwf = res[k].shape[-2], res[k].shape[-1]
+            p = php * f  # square patches: pwf == php * ff / f... unpack below
+            m3 = unpack_scalar(res[k][b][None].reshape(1, php, pwf // ff, ff), f)
+            canvas = jnp.zeros((1, p + f, (pwf // ff) * f + f), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(canvas, m3, (0, ox, oy))
+            repacked = pack(canvas[..., None], f).reshape(
+                1, php + 1, (pwf // ff + 1) * ff
+            )[0]
+            ph2, pw2 = repacked.shape
+            cur = jax.lax.dynamic_slice(accs[k], (x, y), (ph2, pw2))
+            accs[k] = jax.lax.dynamic_update_slice(accs[k], cur + repacked, (x, y))
+        return accs
+
+    return add_aligned, add_misaligned
 
 
 def run_sliding_inference(
@@ -459,7 +521,6 @@ def run_sliding_inference(
         stacked = jax.device_put(
             stacked, NamedSharding(mesh, P("ensemble") if ne > 1 else P())
         )
-    fwd = make_patch_forward(mcfg, consts, stats, len(members), mesh=mesh)
     h, w = dataset.shape()
 
     use_device = device_stitch == "device" or (
@@ -470,14 +531,39 @@ def run_sliding_inference(
     if mesh is not None:
         use_device = False
 
+    # packed-space stitching: when the patch fold runs in the
+    # space-to-depth layout AND the accumulators live on device, the maps
+    # never leave packed space — the four per-patch unpack relayouts
+    # (~10 ms at 2048^2) are replaced by one unpack at finalize
+    from ..nn.packed import choose_pack_factor, unpack_scalar
+
+    p_sz = dataset.patchsize or 0
+    f_eval = (
+        choose_pack_factor(p_sz, p_sz)
+        if (getattr(mcfg, "layout", "auto") != "plain" and mcfg.s1 and mcfg.s2 and p_sz)
+        else 1
+    )
+    packed_stitch = use_device and f_eval > 1
+    fwd = make_patch_forward(
+        mcfg, consts, stats, len(members), mesh=mesh,
+        packed_output=packed_stitch,
+    )
+
     acc = StitchAccumulators((h, w))
     dev_accs = None
     stitch_add = None
-    if use_device:
-        dev_accs = {
-            k: jnp.zeros((h, w), jnp.float32) for k in _ACC_KEYS
-        }
+    if use_device and not packed_stitch:
+        dev_accs = {k: jnp.zeros((h, w), jnp.float32) for k in _ACC_KEYS}
         stitch_add = _make_stitch_add(batch_size)
+    elif packed_stitch:
+        f = f_eval
+        hc = -(-h // f) * f + f  # +f slack for misaligned border re-packs
+        wc = -(-w // f) * f + f
+        dev_accs = {
+            k: jnp.zeros((hc // f, (wc // f) * f * f), jnp.float32)
+            for k in _ACC_KEYS
+        }
+        add_aligned, add_misaligned = _make_packed_stitch_adds(f)
 
     feed = InferenceFeed(
         dataset, batch_size=batch_size, prefetch=2, num_workers=num_workers
@@ -497,7 +583,19 @@ def run_sliding_inference(
             # explicit bulk transfer (jit's implicit conversion is slow)
             dev_batch = jax.device_put(dev_batch)
         res = fwd(stacked, dev_batch)
-        if use_device:
+        if packed_stitch:
+            f = f_eval
+            ff = f * f
+            for b in range(len(batch["valid"])):
+                if not batch["valid"][b]:
+                    continue
+                x, y = (int(v) for v in batch["img_coords"][b])
+                xy = jnp.asarray((x // f, (y // f) * ff), jnp.int32)
+                if x % f == 0 and y % f == 0:
+                    dev_accs = add_aligned(dev_accs, res, xy, b)
+                else:
+                    dev_accs = add_misaligned(dev_accs, res, xy, x % f, y % f, b)
+        elif use_device:
             # invalid (padding) rows are already zeroed by the valid mask,
             # so adding them at their (repeated) coords is a no-op
             xy = jnp.asarray(batch["img_coords"], jnp.int32)
@@ -509,7 +607,21 @@ def run_sliding_inference(
                     continue
                 x, y = (int(v) for v in batch["img_coords"][b])
                 acc.add(x, y, res, b)
-    if use_device:
+    if packed_stitch:
+        f = f_eval
+        hcp, wcpf = dev_accs["dense_sum"].shape
+        unp = jax.jit(
+            lambda a: unpack_scalar(
+                a[None].reshape(1, hcp, wcpf // (f * f), f * f), f
+            )[0, :h, :w]
+        )
+        host = {k: np.asarray(unp(v)) for k, v in dev_accs.items()}
+        acc.out = host["dense_sum"]
+        acc.out_sq = host["dense_sq"]
+        acc.scale = host["scale_sum"]
+        acc.scale_sq = host["scale_sq"]
+        acc.count = np.rint(host["count"]).astype(np.int32)
+    elif use_device:
         host = {k: np.asarray(v) for k, v in dev_accs.items()}
         acc.out = host["dense_sum"]
         acc.out_sq = host["dense_sq"]

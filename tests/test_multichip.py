@@ -295,3 +295,31 @@ def test_trainer_multihost_flag_single_process(tmp_path):
     assert tr.mesh is not None and tr.mesh.shape["data"] == 8
     stats = tr.train_epoch()
     assert np.isfinite(stats.get("optimization_loss", 0.0))
+
+
+def test_packed_device_stitch_misaligned_grid(tmp_path):
+    """Packed-space device stitching == host stitching on a region whose
+    border-clamped patch starts are NOT f-aligned (158-96=62, 62%4=2):
+    misaligned patches take the unpack->aligned-canvas->repack add path."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.nn.init import init_popcorn
+
+    paths = make_synthetic_region(str(tmp_path), "rwa", height=158, width=222, seed=11)
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(6), mcfg)
+    ds = PopulationDataset(
+        paths, "rwa", mode="test", patchsize=96, overlap=16, fourseasons=False
+    )
+    host = run_sliding_inference(
+        [params], consts, mcfg, ds, batch_size=2, device_stitch="host"
+    )
+    dev = run_sliding_inference(
+        [params], consts, mcfg, ds, batch_size=2, device_stitch="device"
+    )
+    np.testing.assert_allclose(dev["map"], host["map"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dev["count"], host["count"])
+    np.testing.assert_allclose(dev["map_std"], host["map_std"], rtol=1e-4, atol=1e-6)
+    ds.close()
