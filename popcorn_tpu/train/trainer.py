@@ -224,32 +224,48 @@ class Trainer:
                     return None  # skip sample
         return {"encoder_no_grad": enc, "unet_no_grad": unet}
 
+    def _put_train_batch(self, batch):
+        dev_batch = {
+            k: batch[k]
+            for k in ("S2", "S1", "VIIRS", "building_counts", "admin_mask",
+                      "census_idx", "y", "photometric")
+            if k in batch
+        }
+        # explicit device_put: jit's implicit host->device conversion is
+        # far slower than a bulk transfer (measured ~10x on the tunnel)
+        if self.mesh is not None:
+            from ..dist.mesh import shard_batch
+
+            return shard_batch(
+                dev_batch, self.mesh,
+                batch_keys=("S2", "S1", "VIIRS", "building_counts",
+                            "admin_mask", "census_idx", "y"),
+            )
+        return jax.device_put(dev_batch)
+
+    def _lookahead_batches(self, epoch: int):
+        """Yield (dev_batch, host_batch): the NEXT batch's host->device DMA
+        is issued before the current step is dispatched, so the transfer
+        overlaps compute (device_put is async)."""
+        prev = None
+        for batch in self.feed.epoch(epoch):
+            nxt = (self._put_train_batch(batch), batch)
+            if prev is not None:
+                yield prev
+            prev = nxt
+        if prev is not None:
+            yield prev
+
     def train_epoch(self) -> Dict[str, float]:
         stats = defaultdict(float)
         nlog = 0
-        for i, batch in enumerate(self.feed.epoch(self.info["epoch"])):
+        for i, (dev_batch, batch) in enumerate(
+            self._lookahead_batches(self.info["epoch"])
+        ):
             flags = self._tier_flags(batch)
             if flags is None:
                 continue
             self._key, sub = jax.random.split(self._key)
-            dev_batch = {
-                k: batch[k]
-                for k in ("S2", "S1", "VIIRS", "building_counts", "admin_mask",
-                          "census_idx", "y", "photometric")
-                if k in batch
-            }
-            # explicit device_put: jit's implicit host->device conversion is
-            # far slower than a bulk transfer (measured ~10x on the tunnel)
-            if self.mesh is not None:
-                from ..dist.mesh import shard_batch
-
-                dev_batch = shard_batch(
-                    dev_batch, self.mesh,
-                    batch_keys=("S2", "S1", "VIIRS", "building_counts",
-                                "admin_mask", "census_idx", "y"),
-                )
-            else:
-                dev_batch = jax.device_put(dev_batch)
             new_params, new_opt_state, aux = self.step_fn(
                 self.params, self.opt_state, dev_batch, sub, **flags
             )
