@@ -48,6 +48,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host pod: jax.distributed.initialize() + a "
                         "DCN x ICI hybrid mesh (data-parallel across hosts, "
                         "data/ensemble within each ICI slice)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 W8A8 inference through the fused Pallas "
+                        "kernels (2x MXU peak on v5e; eval path only)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.debug_nans: raise at the op that produced a NaN "
                         "(the reference's torch.autograd.set_detect_anomaly)")
@@ -147,6 +150,7 @@ def model_config_from_args(a) -> ModelConfig:
         feature_extractor=a.feature_extractor,
         compute_dtype=a.compute_dtype,
         fused_head=fused,
+        quantize=getattr(a, "quantize", None),
     )
 
 

@@ -282,6 +282,9 @@ class ModelConfig:
     # (block-diagonal VMEM pipeline, 3.6 vs 9.0 ms standalone on v5e, but
     # its custom-call layout constraint degrades neighbouring XLA convs:
     # the full fold measured 129 vs 115 ms); None = follows pallas_stream
+    quantize: Optional[str] = None  # "int8": W8A8 inference through the
+    # fused Pallas kernels (2x MXU peak; per-slab dynamic activation +
+    # per-channel weight scales; opt-in, breaks f32 bit-parity)
     pallas_stream: Optional[bool] = None  # fused VMEM UNet-block kernels
     # (nn/pallas_conv.py: whole DoubleConv/Up blocks as single Pallas
     # kernels, double-buffered DMA); None = off — measured at parity with

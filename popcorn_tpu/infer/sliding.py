@@ -103,9 +103,13 @@ def make_patch_forward(
             sample["VIIRS"] = batch["VIIRS"]
         x = normalize_and_assemble(sample, stats)
         if mcfg.sentinel_buildings or not mcfg.occupancy_model:
+            from ..nn.popcorn import quantize_int8, use_pallas_stream
+
             score = create_building_score(
                 consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
                 dtype=dtype,
+                use_pallas=use_pallas_stream(mcfg),
+                quantized=quantize_int8(mcfg),
             )
         else:
             score = batch["building_counts"]

@@ -232,18 +232,11 @@ def pool_packed(x: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
     return x.reshape(b, hp, wp, g * g * c)
 
 
-def _pallas_grid_ok(x: jnp.ndarray) -> bool:
-    """The fused kernels require a sublane-aligned packed grid width
-    (Mosaic DMA slice constraint); odd widths (e.g. the builder's
-    reflect-pad-14 grid, 2076/4 = 519) fall back to the XLA path."""
-    return x.shape[2] % 8 == 0
-
-
 def packed_double_conv(
     p: Tree, bn: Tree, x: jnp.ndarray, f: int, dtype=None,
-    use_pallas: bool = False,
+    use_pallas: bool = False, quantized: bool = False,
 ) -> jnp.ndarray:
-    if use_pallas and _pallas_grid_ok(x):
+    if use_pallas:
         from .pallas_conv import fused_double_conv
 
         return fused_double_conv(
@@ -254,7 +247,7 @@ def packed_double_conv(
             lift_conv3x3(p["conv2"]["w"], f), lift_vec(p["conv2"]["b"], f),
             {"scale": lift_vec(bn["bn2"]["scale"], f),
              "shift": lift_vec(bn["bn2"]["shift"], f)},
-            dtype=dtype,
+            dtype=dtype, quantized=quantized,
         )
     y = conv_packed(x, lift_conv3x3(p["conv1"]["w"], f), dtype)
     y = y + lift_vec(p["conv1"]["b"], f).astype(y.dtype)
@@ -280,10 +273,11 @@ def _packed_up(
     c_skip: int,
     dtype=None,
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Up block: tconv(x1, f/2 -> f) + two-part lifted DoubleConv over
     concat([x2, up]) without materialising the channel permutation."""
-    if use_pallas and _pallas_grid_ok(x2):
+    if use_pallas:
         from .pallas_conv import fused_up_block
 
         w1 = p_up["conv"]["conv1"]["w"]
@@ -298,7 +292,7 @@ def _packed_up(
             lift_vec(p_up["conv"]["conv2"]["b"], f),
             {"scale": lift_vec(bn_up["bn2"]["scale"], f),
              "shift": lift_vec(bn_up["bn2"]["shift"], f)},
-            dtype=dtype,
+            dtype=dtype, quantized=quantized,
         )
     up = matmul_lanes(x1, lift_tconv(p_up["tconv"]["w"], f), dtype)
     up = up + lift_vec(p_up["tconv"]["b"], f).astype(up.dtype)
@@ -331,6 +325,7 @@ def packed_unet_stream(
     t0: int = 8,
     t1: int = 16,
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """One UNet stream fully in packed space. Input x is already packed at
     f0; returns 8ch features packed at f0. Requires f0 in {2,4}.
@@ -344,20 +339,24 @@ def packed_unet_stream(
     f1 = max(f0 // 2, 1)
     f2 = max(f0 // 4, 1)
     pk = use_pallas and not encoder_stop_grad
+    q = quantized and pk
 
-    x1 = packed_double_conv(p["inc"], bn["inc"], x, f0, dtype, use_pallas=pk)
+    x1 = packed_double_conv(p["inc"], bn["inc"], x, f0, dtype, use_pallas=pk,
+                            quantized=q)
     d1_in = pool_packed(x1, f0, t0)  # L1 at f1 (grid Hp when f0=4)
     if f0 == 2:
         # pool_packed produced f=1 on the L0 grid == plain half-res. ok.
         pass
-    d1 = packed_double_conv(p["down1"], bn["down1"], d1_in, f1, dtype, use_pallas=pk)
+    d1 = packed_double_conv(p["down1"], bn["down1"], d1_in, f1, dtype,
+                            use_pallas=pk, quantized=q)
     if f1 >= 2:
         d2_in = pool_packed(d1, f1, t1)
     else:
         from .ops import max_pool_2x2
 
         d2_in = max_pool_2x2(d1)
-    d2 = packed_double_conv(p["down2"], bn["down2"], d2_in, f2, dtype, use_pallas=pk)
+    d2 = packed_double_conv(p["down2"], bn["down2"], d2_in, f2, dtype,
+                            use_pallas=pk, quantized=q)
 
     if encoder_stop_grad:
         x1 = lax.stop_gradient(x1)
@@ -366,7 +365,7 @@ def packed_unet_stream(
 
     if f1 >= 2:
         u2 = _packed_up(p["up2"], bn["up2"], d2, d1, f1, c_skip=t1, dtype=dtype,
-                        use_pallas=pk)
+                        use_pallas=pk, quantized=q)
     else:
         # f2==f1==1: plain tconv via packed 1x1 with f_out=2 then unpack? No:
         # f1==1 means L1 is plain; use the plain up block from nn.unet.
@@ -374,7 +373,7 @@ def packed_unet_stream(
 
         u2 = _up_block(p["up2"], bn["up2"], d2, d1, dtype)
     u1 = _packed_up(p["up1"], bn["up1"], u2, x1, f0, c_skip=t0, dtype=dtype,
-                    use_pallas=pk)
+                    use_pallas=pk, quantized=q)
     return u1  # packed f0, 8ch
 
 
@@ -389,6 +388,7 @@ def packed_dual_stream_features(
     encoder_stop_grad: bool = False,
     dtype=None,
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Fused 16ch features, packed at f. x6 is the UNPACKED 6ch DDA input.
 
@@ -402,7 +402,7 @@ def packed_dual_stream_features(
             packed_unet_stream(
                 p["sar"], bn["sar"], pack(x6[..., :SAR_IN], f), f,
                 encoder_stop_grad=encoder_stop_grad, dtype=dtype,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, quantized=quantized,
             )
         )
     if s2:
@@ -410,7 +410,7 @@ def packed_dual_stream_features(
             packed_unet_stream(
                 p["opt"], bn["opt"], pack(x6[..., SAR_IN:], f), f,
                 encoder_stop_grad=encoder_stop_grad, dtype=dtype,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, quantized=quantized,
             )
         )
     return jnp.concatenate(feats, axis=-1)
@@ -447,11 +447,13 @@ def packed_building_logits(
     s2: bool = True,
     dtype=None,
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Built-up logits, packed at f (1 unpacked channel -> f^2 lanes)."""
     if s1 and s2:
         feats = packed_dual_stream_features(
-            p, bn, x6, f, s1=True, s2=True, dtype=dtype, use_pallas=use_pallas
+            p, bn, x6, f, s1=True, s2=True, dtype=dtype, use_pallas=use_pallas,
+            quantized=quantized,
         )
         w = p["fusion_out"]["w"]  # (16, 1)
         c = feats.shape[-1] // 2
@@ -461,13 +463,13 @@ def packed_building_logits(
     if s1:
         feats = packed_unet_stream(
             p["sar"], bn["sar"], pack(x6[..., :SAR_IN], f), f, dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, quantized=quantized,
         )
         y = matmul_lanes(feats, kron_blockdiag(p["sar_out"]["w"], f), dtype)
         return y + lift_vec(p["sar_out"]["b"], f).astype(y.dtype)
     feats = packed_unet_stream(
         p["opt"], bn["opt"], pack(x6[..., SAR_IN:], f), f, dtype=dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, quantized=quantized,
     )
     y = matmul_lanes(feats, kron_blockdiag(p["opt_out"]["w"], f), dtype)
     return y + lift_vec(p["opt_out"]["b"], f).astype(y.dtype)

@@ -64,6 +64,7 @@ def _conv_rows(slab, w9, n_rows, wout, acc=None):
     Returns (n_rows, wout, Cout) float32. Static-unrolled taps; each tap is
     one MXU matmul over the whole (n_rows, wout) tile.
     """
+    pref = jnp.int32 if slab.dtype == jnp.int8 else jnp.float32
     for dy in range(3):
         for dx in range(3):
             x = slab[dy : dy + n_rows, dx : dx + wout, :]
@@ -71,7 +72,7 @@ def _conv_rows(slab, w9, n_rows, wout, acc=None):
                 x,
                 w9[dy * 3 + dx],
                 (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=pref,
             )
             acc = y if acc is None else acc + y
     return acc
@@ -93,7 +94,7 @@ def _edge_mask(i, tr, n_rows, n_cols, hp, wp, row_off, col_off):
     return (g_rows >= 0) & (g_rows < hp) & (g_cols >= 0) & (g_cols < wp)
 
 
-def _double_conv_kernel(tr, hp, xp_hbm, w1_ref, s1_ref, t1_ref, w2_ref,
+def _double_conv_kernel(tr, hp, wp, xp_hbm, w1_ref, s1_ref, t1_ref, w2_ref,
                         s2_ref, t2_ref, out_ref, xt2, y1_ref, sems):
     """One tr-row chunk of relu(a2(conv2(relu(a1(conv1(x)))))).
 
@@ -124,17 +125,85 @@ def _double_conv_kernel(tr, hp, xp_hbm, w1_ref, s1_ref, t1_ref, w2_ref,
     dma(i, slot).wait()
     xt = xt2[slot]
     cdt = xt.dtype
-    wp = out_ref.shape[1]
-    y1w = y1_ref.shape[1]  # wp+16, sublane-aligned scratch width
+    wpp = out_ref.shape[1]  # width padded to the sublane tile; cols >= wp
+    # carry relu(shift) garbage that the wrapper slices off
+    y1w = y1_ref.shape[1]  # sublane-aligned scratch width
     y1 = _conv_rows(xt, w1_ref, tr + 2, y1w)
     y1 = jnp.maximum(y1 * s1_ref[:] + t1_ref[:], 0.0)
     # y1 slab row rr is global y1 row i*tr+rr-1, col cc-1: the halo ring
     # outside the image is conv2's SAME zero padding
     mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
     y1_ref[:] = jnp.where(mask, y1, 0.0).astype(cdt)
-    y2 = _conv_rows(y1_ref, w2_ref, tr, wp)
+    y2 = _conv_rows(y1_ref, w2_ref, tr, wpp)
     y2 = jnp.maximum(y2 * s2_ref[:] + t2_ref[:], 0.0)
     out_ref[:] = y2.astype(out_ref.dtype)
+
+
+def _quantize_slab(x, n_rows=None):
+    """Dynamic per-slab symmetric int8 quantization: returns (xq, sx).
+
+    Per-slab (not per-tensor) scales need NO calibration pass and track
+    activation ranges tightly; halo rows shared by two slabs quantize
+    with each slab's own scale — both are valid quantizations of the same
+    values, so the result stays within int8 rounding error of f32.
+    """
+    v = x if n_rows is None else x[:n_rows]
+    amax = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32))), 1e-12)
+    sx = amax / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (127.0 / amax)), -127, 127
+    ).astype(jnp.int8)
+    return xq, sx
+
+
+def _double_conv_kernel_q(tr, hp, wp, xp_hbm, w1_ref, d1_ref, t1_ref, w2_ref,
+                          d2_ref, t2_ref, out_ref, xt2, xq_ref, y1q_ref, sems):
+    """int8 W8A8 variant of _double_conv_kernel: dynamic per-slab
+    activation quantization, per-output-channel weight scales pre-folded
+    with the bias+BN affine into d1/d2 (so dequant+affine is one FMA),
+    int8 MXU dots with int32 accumulate (2x the bf16 MXU peak on v5e)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(step, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(step * tr, tr + 4)], xt2.at[slot], sems.at[slot]
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(i + 1, nxt).start()
+
+    dma(i, slot).wait()
+    wpp = out_ref.shape[1]
+    y1w = y1q_ref.shape[1]
+    xq, sx = _quantize_slab(xt2[slot])
+    xq_ref[:] = xq
+    acc = _conv_rows(xq_ref, w1_ref, tr + 2, y1w)  # int8 dots, i32 accumulate
+    y1 = jnp.maximum(acc.astype(jnp.float32) * (d1_ref[:] * sx) + t1_ref[:], 0.0)
+    mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
+    y1 = jnp.where(mask, y1, 0.0)
+    y1q, sy = _quantize_slab(y1)
+    y1q_ref[:] = y1q
+    acc2 = _conv_rows(y1q_ref, w2_ref, tr, wpp)
+    y2 = jnp.maximum(acc2.astype(jnp.float32) * (d2_ref[:] * sy) + t2_ref[:], 0.0)
+    out_ref[:] = y2.astype(out_ref.dtype)
+
+
+def _quantize_weight(w9, cdim=-1):
+    """Per-output-channel symmetric int8 weight quantization in XLA:
+    (9, Cin, Cout) -> int8 weights + (Cout,) f32 scales."""
+    amax = jnp.maximum(jnp.max(jnp.abs(w9), axis=(0, 1)), 1e-12)
+    sw = amax / 127.0
+    wq = jnp.clip(jnp.round(w9 / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
 
 
 def _pad_rows(hp: int, tr: int) -> int:
@@ -161,11 +230,15 @@ def fused_double_conv(
     b2: jnp.ndarray,
     bn2: Tree,
     dtype=None,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """relu(bn2(conv2(relu(bn1(conv1(x)))))) fused in VMEM.
 
     x: (B, Hp, Wp, Cin) packed activation; w1 (3,3,Cin,Cm), w2 (3,3,Cm,Cout)
     LIFTED packed kernels; bn: {'scale','shift'} lifted vectors.
+    quantized: int8 W8A8 MXU path (per-slab dynamic activation scales,
+    per-channel weight scales; block I/O stays bf16/f32 so the XLA glue
+    between blocks is unchanged).
     """
     cdt = dtype or x.dtype
     b, hp, wp, cin = x.shape
@@ -180,52 +253,90 @@ def fused_double_conv(
 
     tr = min(TR, hp)
     hp_pad = _pad_rows(hp, tr)
-    # +2 halo top / +2+grid-pad bottom; width slab overallocated to a
-    # sublane-aligned width ([2 zeros][wp][rest zeros]) so the DMA into
-    # the VMEM slab never slices the (8,128)-tiled sublane dim (Mosaic
-    # requires 8-aligned slice shapes there); zeros = SAME conv padding
-    y1w = _pad_rows(wp + 2, 8)
+    # +2 halo top / +2+grid-pad bottom; widths padded to the sublane tile
+    # ([2 zeros][wp][rest zeros]) so the DMA into the VMEM slab never
+    # slices the (8,128)-tiled sublane dim AND arbitrary (odd) grid widths
+    # work — edge masks use the TRUE wp, out columns >= wp are sliced off;
+    # zeros = SAME conv padding
+    wpp = _pad_rows(wp, 8)
+    y1w = _pad_rows(wpp + 2, 8)
     xw = y1w + 16
     xp = jnp.pad(
         x.astype(cdt),
         ((0, 0), (2, 2 + hp_pad - hp), (2, xw - wp - 2), (0, cinp - cin)),
     )
-    w19 = w1.reshape(9, cinp, cmp_).astype(cdt)
-    w29 = w2.reshape(9, cmp_, coutp).astype(cdt)
+    w19 = w1.reshape(9, cinp, cmp_)
+    w29 = w2.reshape(9, cmp_, coutp)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     import functools
 
-    kernel = functools.partial(_double_conv_kernel, tr, hp)
+    if quantized:
+        w1q, sw1 = _quantize_weight(w19.astype(jnp.float32))
+        w2q, sw2 = _quantize_weight(w29.astype(jnp.float32))
+        d1 = (sw1 * s1.ravel()).reshape(1, 1, -1)
+        d2 = (sw2 * s2.ravel()).reshape(1, 1, -1)
+        kernel = functools.partial(_double_conv_kernel_q, tr, hp, wp)
 
-    def run(xpb):
-        return pl.pallas_call(
-            kernel,
-            grid=(hp_pad // tr,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                full, full, full, full, full, full,
-            ],
-            out_specs=pl.BlockSpec(
-                (tr, wp, coutp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((hp_pad, wp, coutp), cdt),
-            scratch_shapes=[
-                pltpu.VMEM((2, tr + 4, xw, cinp), cdt),
-                pltpu.VMEM((tr + 2, y1w, cmp_), cdt),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            interpret=_interpret(),
-        )(xpb, w19, s1, t1, w29, s2, t2)
+        def run(xpb):
+            return pl.pallas_call(
+                kernel,
+                grid=(hp_pad // tr,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    full, full, full, full, full, full,
+                ],
+                out_specs=pl.BlockSpec(
+                    (tr, wpp, coutp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), cdt),
+                scratch_shapes=[
+                    pltpu.VMEM((2, tr + 4, xw, cinp), cdt),
+                    pltpu.VMEM((tr + 4, xw, cinp), jnp.int8),
+                    pltpu.VMEM((tr + 2, y1w, cmp_), jnp.int8),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=_interpret(),
+            )(xpb, w1q, d1, t1, w2q, d2, t2)
+
+    else:
+        w19 = w19.astype(cdt)
+        w29 = w29.astype(cdt)
+        kernel = functools.partial(_double_conv_kernel, tr, hp, wp)
+
+        def run(xpb):
+            return pl.pallas_call(
+                kernel,
+                grid=(hp_pad // tr,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    full, full, full, full, full, full,
+                ],
+                out_specs=pl.BlockSpec(
+                    (tr, wpp, coutp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), cdt),
+                scratch_shapes=[
+                    pltpu.VMEM((2, tr + 4, xw, cinp), cdt),
+                    pltpu.VMEM((tr + 2, y1w, cmp_), cdt),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=_interpret(),
+            )(xpb, w19, s1, t1, w29, s2, t2)
 
     outs = [run(xp[bb]) for bb in range(b)]
-    return jnp.stack(outs)[:, :hp, :, :cout]
+    return jnp.stack(outs)[:, :hp, :wp, :cout]
 
 
-def _up_block_kernel(tr, hp, x2p_hbm, x1p_hbm, wt_ref, tt_ref, wa_ref,
+def _up_block_kernel(tr, hp, wp, x2p_hbm, x1p_hbm, wt_ref, tt_ref, wa_ref,
                      wb_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref, out_ref,
                      x2t, x1t, up_ref, y1_ref, sems):
     """Up block chunk: up = x1 @ Wt + bt (1x1 packed tconv — no BN/relu in
@@ -283,6 +394,75 @@ def _up_block_kernel(tr, hp, x2p_hbm, x1p_hbm, wt_ref, tt_ref, wa_ref,
     out_ref[:] = y2.astype(out_ref.dtype)
 
 
+def _up_block_kernel_q(tr, hp, wp, x2p_hbm, x1p_hbm, wt_ref, dt_ref, tt_ref,
+                       wa_ref, da_ref, wb_ref, db_ref, t1_ref, w2_ref,
+                       d2_ref, t2_ref, out_ref, x2t, x1t, x1q_ref, x2q_ref,
+                       upq_ref, y1q_ref, sems):
+    """int8 W8A8 variant of _up_block_kernel: each of the three conv
+    contributions (tconv on x1, wa on the skip, wb on up) is dequantized
+    with its own (slab scale x per-channel weight scale x BN scale) vector
+    before the f32 sum — exactly the f32 math up to int8 rounding."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma2(step, slot):
+        return pltpu.make_async_copy(
+            x2p_hbm.at[pl.ds(step * tr, tr + 4)], x2t.at[slot], sems.at[slot]
+        )
+
+    def dma1(step, slot):
+        return pltpu.make_async_copy(
+            x1p_hbm.at[pl.ds(step * tr, tr + 4)], x1t.at[slot], sems.at[2 + slot]
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma2(0, 0).start()
+        dma1(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma2(i + 1, nxt).start()
+        dma1(i + 1, nxt).start()
+
+    dma1(i, slot).wait()
+    wpp = out_ref.shape[1]
+    xw = x1q_ref.shape[1]
+    y1w = y1q_ref.shape[1]
+    x1q, s1x = _quantize_slab(x1t[slot])
+    x1q_ref[:] = x1q
+    up_acc = jax.lax.dot_general(
+        x1q_ref[:], wt_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    up = up_acc.astype(jnp.float32) * (dt_ref[:] * s1x) + tt_ref[:]
+    mask_up = _edge_mask(i, tr, tr + 4, xw, hp, wp, row_off=-2, col_off=-2)
+    up = jnp.where(mask_up, up, 0.0)
+    upq, su = _quantize_slab(up)
+    upq_ref[:] = upq
+    dma2(i, slot).wait()
+    x2q, s2x = _quantize_slab(x2t[slot])
+    x2q_ref[:] = x2q
+    acc_a = _conv_rows(x2q_ref, wa_ref, tr + 2, y1w)
+    acc_b = _conv_rows(upq_ref, wb_ref, tr + 2, y1w)
+    y1 = (
+        acc_a.astype(jnp.float32) * (da_ref[:] * s2x)
+        + acc_b.astype(jnp.float32) * (db_ref[:] * su)
+        + t1_ref[:]
+    )
+    y1 = jnp.maximum(y1, 0.0)
+    mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
+    y1 = jnp.where(mask, y1, 0.0)
+    y1q, sy = _quantize_slab(y1)
+    y1q_ref[:] = y1q
+    acc2 = _conv_rows(y1q_ref, w2_ref, tr, wpp)
+    y2 = jnp.maximum(acc2.astype(jnp.float32) * (d2_ref[:] * sy) + t2_ref[:], 0.0)
+    out_ref[:] = y2.astype(out_ref.dtype)
+
+
 def fused_up_block(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
@@ -296,6 +476,7 @@ def fused_up_block(
     b2: jnp.ndarray,
     bn2: Tree,
     dtype=None,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """The packed Up block fused in VMEM (nn/packed.py::_packed_up).
 
@@ -324,7 +505,8 @@ def fused_up_block(
 
     tr = min(TR, hp)
     hp_pad = _pad_rows(hp, tr)
-    y1w = _pad_rows(wp + 2, 8)
+    wpp = _pad_rows(wp, 8)
+    y1w = _pad_rows(wpp + 2, 8)
     xw = y1w + 16
     x1p = jnp.pad(
         x1.astype(cdt),
@@ -334,41 +516,88 @@ def fused_up_block(
         x2.astype(cdt),
         ((0, 0), (2, 2 + hp_pad - hp), (2, xw - wp - 2), (0, cskipp - cskip)),
     )
-    wa9 = wa.reshape(9, cskipp, cmp_).astype(cdt)
-    wb9 = wb.reshape(9, cupp, cmp_).astype(cdt)
-    w29 = w2.reshape(9, cmp_, coutp).astype(cdt)
-    wtc = wt.astype(cdt)
+    wa9 = wa.reshape(9, cskipp, cmp_)
+    wb9 = wb.reshape(9, cupp, cmp_)
+    w29 = w2.reshape(9, cmp_, coutp)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     import functools
 
-    kernel = functools.partial(_up_block_kernel, tr, hp)
+    if quantized:
+        wtq, swt = _quantize_weight(wt.astype(jnp.float32)[None])
+        waq, swa = _quantize_weight(wa9.astype(jnp.float32))
+        wbq, swb = _quantize_weight(wb9.astype(jnp.float32))
+        w2q, sw2 = _quantize_weight(w29.astype(jnp.float32))
+        wtq = wtq[0]
+        dt = swt.reshape(1, 1, -1)
+        da = (swa * s1.ravel()).reshape(1, 1, -1)
+        db = (swb * s1.ravel()).reshape(1, 1, -1)
+        d2 = (sw2 * s2.ravel()).reshape(1, 1, -1)
+        kernel = functools.partial(_up_block_kernel_q, tr, hp, wp)
 
-    def run(x2b, x1b):
-        return pl.pallas_call(
-            kernel,
-            grid=(hp_pad // tr,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                full, full, full, full, full, full, full, full, full,
-            ],
-            out_specs=pl.BlockSpec(
-                (tr, wp, coutp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((hp_pad, wp, coutp), cdt),
-            scratch_shapes=[
-                pltpu.VMEM((2, tr + 4, xw, cskipp), cdt),
-                pltpu.VMEM((2, tr + 4, xw, cin1p), cdt),
-                pltpu.VMEM((tr + 4, xw, cupp), cdt),
-                pltpu.VMEM((tr + 2, y1w, cmp_), cdt),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            interpret=_interpret(),
-        )(x2b, x1b, wtc, tt, wa9, wb9, s1, t1, w29, s2, t2)
+        def run(x2b, x1b):
+            return pl.pallas_call(
+                kernel,
+                grid=(hp_pad // tr,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    full, full, full, full, full, full, full, full, full,
+                    full, full,
+                ],
+                out_specs=pl.BlockSpec(
+                    (tr, wpp, coutp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), cdt),
+                scratch_shapes=[
+                    pltpu.VMEM((2, tr + 4, xw, cskipp), cdt),
+                    pltpu.VMEM((2, tr + 4, xw, cin1p), cdt),
+                    pltpu.VMEM((tr + 4, xw, cin1p), jnp.int8),
+                    pltpu.VMEM((tr + 4, xw, cskipp), jnp.int8),
+                    pltpu.VMEM((tr + 4, xw, cupp), jnp.int8),
+                    pltpu.VMEM((tr + 2, y1w, cmp_), jnp.int8),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=_interpret(),
+            )(x2b, x1b, wtq, dt, tt, waq, da, wbq, db, t1, w2q, d2, t2)
+
+    else:
+        wa9 = wa9.astype(cdt)
+        wb9 = wb9.astype(cdt)
+        w29 = w29.astype(cdt)
+        wtc = wt.astype(cdt)
+        kernel = functools.partial(_up_block_kernel, tr, hp, wp)
+
+        def run(x2b, x1b):
+            return pl.pallas_call(
+                kernel,
+                grid=(hp_pad // tr,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    full, full, full, full, full, full, full, full, full,
+                ],
+                out_specs=pl.BlockSpec(
+                    (tr, wpp, coutp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), cdt),
+                scratch_shapes=[
+                    pltpu.VMEM((2, tr + 4, xw, cskipp), cdt),
+                    pltpu.VMEM((2, tr + 4, xw, cin1p), cdt),
+                    pltpu.VMEM((tr + 4, xw, cupp), cdt),
+                    pltpu.VMEM((tr + 2, y1w, cmp_), cdt),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=_interpret(),
+            )(x2b, x1b, wtc, tt, wa9, wb9, s1, t1, w29, s2, t2)
 
     outs = [run(x2p[bb], x1p[bb]) for bb in range(b)]
-    return jnp.stack(outs)[:, :hp, :, :cout]
+    return jnp.stack(outs)[:, :hp, :wp, :cout]

@@ -103,10 +103,21 @@ def use_pallas_stream(cfg: ModelConfig, train: bool = False) -> bool:
     """
     if train:
         return False
+    if getattr(cfg, "quantize", None):
+        return True  # the int8 path runs through these kernels
     v = getattr(cfg, "pallas_stream", None)
     if v is None:
         return False
     return bool(v)
+
+
+def quantize_int8(cfg: ModelConfig, train: bool = False) -> bool:
+    """Gate for int8 W8A8 inference (cfg.quantize == 'int8'): the fused
+    Pallas UNet-block kernels run int8 MXU dots (2x the bf16 peak on v5e)
+    with dynamic per-slab activation scales and per-channel weight scales.
+    Opt-in: int8 rounding breaks bit-parity with the f32/bf16 path (map
+    R^2 vs f32 validated in tests/test_pallas_conv.py and on-chip)."""
+    return not train and getattr(cfg, "quantize", None) == "int8"
 
 
 def create_building_score(
@@ -119,6 +130,7 @@ def create_building_score(
     dtype=None,
     layout: str = "auto",
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """On-the-fly built-up probability (model/popcorn.py:279-322).
 
@@ -137,7 +149,7 @@ def create_building_score(
     if f > 1:
         logits_p = packed_building_logits(
             builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, quantized=quantized,
         )
         score3 = unpack_scalar(jax.nn.sigmoid(logits_p.astype(jnp.float32)), f)
     else:
@@ -244,13 +256,14 @@ def packed_member_maps(
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     pk = use_pallas_stream(cfg)
+    q = quantize_int8(cfg)
     sar_f = packed_unet_stream(
         params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype,
-        use_pallas=pk,
+        use_pallas=pk, quantized=q,
     )
     opt_f = packed_unet_stream(
         params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype,
-        use_pallas=pk,
+        use_pallas=pk, quantized=q,
     )
     feats_p = jnp.concatenate([sar_f, opt_f], axis=-1)
     b, hp, wp = feats_p.shape[0], feats_p.shape[1], feats_p.shape[2]
@@ -312,6 +325,7 @@ def popcorn_forward(
             consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir,
             dtype=dtype, layout=layout,
             use_pallas=use_pallas_stream(cfg, train),
+            quantized=quantize_int8(cfg, train),
         )
     else:
         building_counts = inputs["building_counts"]
@@ -355,6 +369,7 @@ def popcorn_forward(
             s1=cfg.s1, s2=cfg.s2,
             encoder_stop_grad=encoder_no_grad, dtype=dtype,
             use_pallas=use_pallas_stream(cfg, train),
+            quantized=quantize_int8(cfg, train),
         )
         if unet_no_grad:
             feats_p = lax.stop_gradient(feats_p)

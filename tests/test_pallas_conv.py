@@ -19,7 +19,7 @@ def rngk():
     return np.random.default_rng(7)
 
 
-@pytest.mark.parametrize("f,h,w", [(4, 24, 40), (4, 16, 16), (2, 24, 40)])
+@pytest.mark.parametrize("f,h,w", [(4, 24, 40), (4, 16, 16), (2, 24, 40), (4, 19, 37)])
 def test_fused_double_conv_matches_xla(rngk, f, h, w):
     p = {
         "conv1": {"w": _mk(rngk, (3, 3, 2, 8)), "b": _mk(rngk, (8,), 1.0)},
@@ -104,3 +104,55 @@ def test_popcorn_forward_pallas_stream_matches(rngk):
     np.testing.assert_allclose(
         np.asarray(got["popcount"]), np.asarray(ref["popcount"]), rtol=2e-4
     )
+
+
+def test_int8_double_conv_close_to_f32(rngk):
+    """int8 W8A8 double conv within quantization error of f32 (per-slab
+    dynamic activation scales + per-channel weight scales keep relative
+    error at the int8 rounding level)."""
+    p = {
+        "conv1": {"w": _mk(rngk, (3, 3, 2, 8)), "b": _mk(rngk, (8,), 0.3)},
+        "conv2": {"w": _mk(rngk, (3, 3, 8, 8)), "b": _mk(rngk, (8,), 0.3)},
+    }
+    bn = {
+        "bn1": {"scale": 1.0 + _mk(rngk, (8,), 0.2), "shift": _mk(rngk, (8,), 0.3)},
+        "bn2": {"scale": 1.0 + _mk(rngk, (8,), 0.2), "shift": _mk(rngk, (8,), 0.3)},
+    }
+    f = 4
+    x = _mk(rngk, (1, 24, 40, f * f * 2), 1.0)
+    ref = K.packed_double_conv(p, bn, x, f, dtype=None)
+    got = K.packed_double_conv(p, bn, x, f, dtype=None, use_pallas=True,
+                               quantized=True)
+    scale = float(np.abs(np.asarray(ref)).max())
+    err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+    assert err < 0.05 * scale, f"int8 error {err} vs scale {scale}"
+    # correlation of the maps stays ~1
+    a, b = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_int8_popcorn_forward_close(rngk):
+    """End-to-end popcorn_forward with cfg.quantize='int8': population
+    maps correlate >0.99 with the f32 path and popcount within ~2%."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.nn.popcorn import popcorn_forward
+
+    mcfg = ModelConfig(pretrained=False, occupancy_model=True)
+    params, consts = init_popcorn(jax.random.PRNGKey(3), mcfg)
+    x = _mk(rngk, (1, 64, 64, 6), 1.0)
+    inputs = {"input": x}
+    ref = popcorn_forward(
+        params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+    )
+    mcfg_q = ModelConfig(pretrained=False, occupancy_model=True, quantize="int8")
+    got = popcorn_forward(
+        params, consts, inputs, mcfg_q, train=False, padding=False, sparse=False
+    )
+    a = np.asarray(ref["popdensemap"]).ravel()
+    b = np.asarray(got["popdensemap"]).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    pc_ref = float(ref["popcount"][0])
+    pc_got = float(got["popcount"][0])
+    assert abs(pc_got - pc_ref) <= 0.03 * max(abs(pc_ref), 1.0), (pc_ref, pc_got)
