@@ -44,7 +44,10 @@ def test_dryrun_multichip_clean_env():
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        # the clean env skips the persistent compile cache; a fresh CPU
+        # compile of the train step takes ~3.5 min alone and can exceed
+        # 10 min when the suite shares the host CPU
+        timeout=1500,
     )
     assert proc.returncode == 0, (
         f"dryrun_multichip failed in clean env:\n{proc.stdout}\n{proc.stderr}"
