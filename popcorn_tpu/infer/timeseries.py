@@ -52,17 +52,24 @@ def find_closest_frames(
     s2_frames: Sequence[Frame],
     s1_desc_frames: Sequence[Frame],
     s1_asc_frames: Sequence[Frame],
-) -> List[Tuple[Frame, Frame, Frame]]:
+) -> List[Tuple[Frame, Optional[Frame], Optional[Frame]]]:
     """Pair each S2 frame with its nearest-dated S1 desc and asc frames
-    (reference intent: time_series_inference_single_frame.py:104-148)."""
+    (reference intent: time_series_inference_single_frame.py:104-148).
+    A missing orbit pairs as None — the built-up score then uses the
+    available orbit alone instead of the two-orbit average."""
 
-    def closest(frames: Sequence[Frame], date: dt.date) -> Frame:
+    def closest(frames: Sequence[Frame], date: dt.date) -> Optional[Frame]:
+        if not frames:
+            return None
         return min(frames, key=lambda f: abs((f.date - date).days))
 
-    return [
+    pairs = [
         (s2, closest(s1_desc_frames, s2.date), closest(s1_asc_frames, s2.date))
         for s2 in s2_frames
     ]
+    if any(d is None and a is None for _, d, a in pairs):
+        raise ValueError("no S1 frames given (need s1_desc and/or s1_asc)")
+    return pairs
 
 
 def _read_frame(path: str, bands) -> np.ndarray:
@@ -143,6 +150,8 @@ def run_builtup_timeseries(
         s2 = _read_frame(s2f.path, s2_bands)
         scores = []
         for s1f in (descf, ascf):
+            if s1f is None:
+                continue  # orbit absent: use the available one alone
             s1 = _read_frame(s1f.path, (1, 2))
             if s1.shape[:2] != s2.shape[:2]:
                 raise ValueError(
@@ -154,7 +163,7 @@ def run_builtup_timeseries(
                     patchsize=patchsize, overlap=overlap, _score_fn=fn,
                 )
             )
-        avg = (scores[0] + scores[1]) / 2.0
+        avg = sum(scores) / float(len(scores))
         out = os.path.join(output_dir, f"BuiltUp_{s2f.date.isoformat()}.tif")
         write_geotiff(out, avg, template=s2f.path)
         written.append(out)

@@ -101,3 +101,20 @@ def test_population_timeseries(model, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "totals.csv"))
     assert os.path.exists(os.path.join(out_dir, "rwa_predictions_2020.tif"))
     assert os.path.exists(os.path.join(out_dir, "rwa_predictions_2021_STD.tif"))
+
+
+def test_builtup_single_orbit(tmp_path):
+    """A missing S1 orbit degrades to the available orbit alone instead of
+    crashing (driven on-chip via run_timeseries.py builtup with desc-only
+    frames); no S1 at all raises."""
+    import numpy as np
+    import pytest
+
+    from popcorn_tpu.infer.timeseries import Frame, find_closest_frames, parse_date
+
+    s2 = [Frame(parse_date("2023-06-01"), "a.tif")]
+    desc = [Frame(parse_date("2023-06-03"), "d.tif")]
+    pairs = find_closest_frames(s2, desc, [])
+    assert pairs[0][1] is not None and pairs[0][2] is None
+    with pytest.raises(ValueError):
+        find_closest_frames(s2, [], [])
