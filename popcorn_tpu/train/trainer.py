@@ -338,6 +338,13 @@ class Trainer:
     def train(self):
         for _ in range(self.info["epoch"], self.tcfg.num_epochs):
             self.train_epoch()
+            # device memory sample per epoch (the reference's gpu_used GB
+            # from nvmlDeviceGetMemoryInfo, run_train.py:39-40, 156-158)
+            from ..utils.profiling import device_memory_stats
+
+            mem = device_memory_stats()
+            if mem:
+                self.logger.log(mem, self.info["iter"])
             if self.tcfg.save_model in ("last", "both"):
                 self.save_model("last")
             if (self.info["epoch"] + 1) % self.tcfg.val_every_n_epochs == 0:
