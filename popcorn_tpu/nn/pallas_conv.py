@@ -283,7 +283,7 @@ def fused_double_conv(
                 kernel,
                 grid=(hp_pad // tr,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     full, full, full, full, full, full,
                 ],
                 out_specs=pl.BlockSpec(
@@ -313,7 +313,7 @@ def fused_double_conv(
                 kernel,
                 grid=(hp_pad // tr,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     full, full, full, full, full, full,
                 ],
                 out_specs=pl.BlockSpec(
@@ -540,8 +540,8 @@ def fused_up_block(
                 kernel,
                 grid=(hp_pad // tr,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     full, full, full, full, full, full, full, full, full,
                     full, full,
                 ],
@@ -577,8 +577,8 @@ def fused_up_block(
                 kernel,
                 grid=(hp_pad // tr,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     full, full, full, full, full, full, full, full, full,
                 ],
                 out_specs=pl.BlockSpec(
