@@ -210,3 +210,97 @@ def load_popcorn_checkpoint(path: str) -> Tuple[Tree, Tree]:
         "builder": {"params": builder_params, "bn": builder_bn},
     }
     return params, consts
+
+
+# -- export: JAX trees -> released torch .pth format --------------------------
+
+
+def _inv_conv_w(a) -> "np.ndarray":
+    return np.transpose(np.asarray(a, np.float32), (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _inv_conv1x1_w(a) -> "np.ndarray":
+    return np.asarray(a, np.float32).T[:, :, None, None].copy()  # (I,O) -> (O,I,1,1)
+
+
+def _inv_tconv_w(a) -> "np.ndarray":
+    return np.transpose(np.asarray(a, np.float32), (0, 3, 1, 2))  # (I,kh,kw,O) -> (I,O,kh,kw)
+
+
+def _inv_bn(bn: Tree, out: Dict[str, "np.ndarray"], prefix: str) -> None:
+    """Folded (scale, shift) -> a torch BN with running_mean=0 and
+    running_var=1-eps, so gamma/sqrt(var+eps) == scale EXACTLY and
+    beta == shift. Inference through the reference's eval-mode BN is then
+    bit-identical; the individual (gamma, mean, var) of the original
+    checkpoint are not recoverable from the fold (and don't matter for
+    frozen inference)."""
+    scale = np.asarray(bn["scale"], np.float32)
+    out[f"{prefix}.weight"] = scale
+    out[f"{prefix}.bias"] = np.asarray(bn["shift"], np.float32)
+    out[f"{prefix}.running_mean"] = np.zeros_like(scale)
+    out[f"{prefix}.running_var"] = np.full_like(scale, 1.0 - BN_EPS)
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _inv_double_conv(p: Tree, bn: Tree, out, prefix: str) -> None:
+    out[f"{prefix}.0.weight"] = _inv_conv_w(p["conv1"]["w"])
+    out[f"{prefix}.0.bias"] = np.asarray(p["conv1"]["b"], np.float32)
+    _inv_bn(bn["bn1"], out, f"{prefix}.1")
+    out[f"{prefix}.3.weight"] = _inv_conv_w(p["conv2"]["w"])
+    out[f"{prefix}.3.bias"] = np.asarray(p["conv2"]["b"], np.float32)
+    _inv_bn(bn["bn2"], out, f"{prefix}.4")
+
+
+def _inv_stream(p: Tree, bn: Tree, out, pre: str) -> None:
+    _inv_double_conv(p["inc"], bn["inc"], out, f"{pre}inc.conv.conv")
+    _inv_double_conv(p["down1"], bn["down1"], out, f"{pre}down_seq.down1.mpconv.1.conv")
+    _inv_double_conv(p["down2"], bn["down2"], out, f"{pre}down_seq.down2.mpconv.1.conv")
+    for up in ("up2", "up1"):
+        out[f"{pre}up_seq.{up}.up.weight"] = _inv_tconv_w(p[up]["tconv"]["w"])
+        out[f"{pre}up_seq.{up}.up.bias"] = np.asarray(p[up]["tconv"]["b"], np.float32)
+        _inv_double_conv(p[up]["conv"], bn[up], out, f"{pre}up_seq.{up}.conv.conv")
+
+
+def _inv_out_conv(p: Tree, out, name: str) -> None:
+    out[f"{name}.weight"] = _inv_conv1x1_w(p["w"])
+    out[f"{name}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def dual_stream_from_tree(params: Tree, bn: Tree, prefix: str = "") -> Dict:
+    out: Dict[str, np.ndarray] = {}
+    _inv_stream(params["sar"], bn["sar"], out, f"{prefix}sar_stream.")
+    _inv_stream(params["opt"], bn["opt"], out, f"{prefix}optical_stream.")
+    _inv_out_conv(params["sar_out"], out, f"{prefix}sar_out_conv.conv")
+    _inv_out_conv(params["opt_out"], out, f"{prefix}optical_out_conv.conv")
+    _inv_out_conv(params["fusion_out"], out, f"{prefix}fusion_out_conv.conv")
+    return out
+
+
+def save_popcorn_checkpoint(
+    path: str, params: Tree, consts: Tree, epoch: int = 0, iteration: int = 0
+) -> None:
+    """Export (params, consts) to the reference's .pth training-checkpoint
+    format (run_train.py:445-456: {'model': sd, 'epoch', 'iter'} with
+    unetmodel.*/building_extractor.*/head.* keys) — the reverse of
+    load_popcorn_checkpoint, so popcorn-tpu training results can be used
+    by the original torch implementation. Frozen BN is exported as an
+    equivalent eval-mode BN (see _inv_bn)."""
+    import torch
+
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(dual_stream_from_tree(params["unet"], consts["unet_bn"], "unetmodel."))
+    sd.update(
+        dual_stream_from_tree(
+            consts["builder"]["params"], consts["builder"]["bn"],
+            "building_extractor.",
+        )
+    )
+    for i, idx in enumerate((0, 2, 4, 6)):
+        sd[f"head.{idx}.weight"] = _inv_conv1x1_w(params["head"][f"l{i + 1}"]["w"])
+        sd[f"head.{idx}.bias"] = np.asarray(params["head"][f"l{i + 1}"]["b"], np.float32)
+    ck = {
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        "epoch": epoch,
+        "iter": iteration,
+    }
+    torch.save(ck, path)

@@ -111,3 +111,33 @@ def test_single_dispatch_matches_split(tmp_path, rng):
         split,
         fused,
     )
+
+
+def test_pth_export_roundtrip(tmp_path):
+    """save_popcorn_checkpoint -> load_popcorn_checkpoint round-trips the
+    trees exactly (BN fold preserved bit-exactly through the synthetic
+    eval-mode BN), so TPU-trained models can be consumed by the original
+    torch implementation."""
+    from popcorn_tpu.compat.torch_convert import (
+        load_popcorn_from_dda,
+        save_popcorn_checkpoint,
+    )
+
+    mcfg = ModelConfig(pretrained=True)
+    params, consts = load_popcorn_from_dda(mcfg, head_key=jax.random.PRNGKey(3))
+    path = str(tmp_path / "export.pth")
+    save_popcorn_checkpoint(path, params, consts, epoch=4, iteration=99)
+
+    params2, consts2 = load_popcorn_checkpoint(path)
+    for a, b in zip(
+        jax.tree.leaves((params, consts)), jax.tree.leaves((params2, consts2))
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    from popcorn_tpu.compat.torch_convert import load_torch_checkpoint_meta
+
+    meta = load_torch_checkpoint_meta(path)
+    assert meta["epoch"] == 4 and meta["iter"] == 99
