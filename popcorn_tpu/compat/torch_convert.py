@@ -273,6 +273,13 @@ def dual_stream_from_tree(params: Tree, bn: Tree, prefix: str = "") -> Dict:
     _inv_out_conv(params["sar_out"], out, f"{prefix}sar_out_conv.conv")
     _inv_out_conv(params["opt_out"], out, f"{prefix}optical_out_conv.conv")
     _inv_out_conv(params["fusion_out"], out, f"{prefix}fusion_out_conv.conv")
+    # the reference UNet registers a per-stream outc unconditionally
+    # (networks.py, even with enable_outc=False), and the reference loads
+    # checkpoints with strict=True (run_eval.py:253) — emit zeros for the
+    # keys our trees don't carry (no reference forward ever uses outc)
+    for stream in ("sar_stream", "optical_stream"):
+        out[f"{prefix}{stream}.outc.conv.weight"] = np.zeros((1, 8, 1, 1), np.float32)
+        out[f"{prefix}{stream}.outc.conv.bias"] = np.zeros((1,), np.float32)
     return out
 
 

@@ -416,27 +416,6 @@ def packed_dual_stream_features(
     return jnp.concatenate(feats, axis=-1)
 
 
-def packed_fusion_logits_from_streams(
-    p: Tree,
-    sar_p: jnp.ndarray,
-    opt_p: jnp.ndarray,
-    bn: Tree,
-    f: int,
-    dtype=None,
-    use_pallas: bool = False,
-) -> jnp.ndarray:
-    """Fusion built-up logits from PRE-PACKED input streams (packed at f),
-    avoiding a second reorder+pack when the caller already prepared them."""
-    sar_f = packed_unet_stream(p["sar"], bn["sar"], sar_p, f, dtype=dtype,
-                               use_pallas=use_pallas)
-    opt_f = packed_unet_stream(p["opt"], bn["opt"], opt_p, f, dtype=dtype,
-                               use_pallas=use_pallas)
-    w = p["fusion_out"]["w"]  # (16, 1)
-    ya = matmul_lanes(sar_f, kron_blockdiag(w[:8], f), dtype)
-    yb = matmul_lanes(opt_f, kron_blockdiag(w[8:], f), dtype)
-    return ya + yb + lift_vec(p["fusion_out"]["b"], f).astype(ya.dtype)
-
-
 def packed_building_logits(
     p: Tree,
     bn: Tree,

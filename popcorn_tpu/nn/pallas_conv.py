@@ -372,7 +372,10 @@ def _up_block_kernel(tr, hp, wp, x2p_hbm, x1p_hbm, wt_ref, tt_ref, wa_ref,
     dma1(i, slot).wait()
     x1s = x1t[slot]
     cdt = x1s.dtype
-    wp = out_ref.shape[1]
+    # NOTE do not shadow the true-width parameter `wp`: the edge masks
+    # must use it, while convs/outputs run at the tile-padded width wpp
+    # (out columns >= wp carry garbage the wrapper slices off)
+    wpp = out_ref.shape[1]
     xw = x1s.shape[1]
     y1w = y1_ref.shape[1]
     up = jax.lax.dot_general(
@@ -389,7 +392,7 @@ def _up_block_kernel(tr, hp, wp, x2p_hbm, x1p_hbm, wt_ref, tt_ref, wa_ref,
     y1 = jnp.maximum(y1 * s1_ref[:] + t1_ref[:], 0.0)
     mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
     y1_ref[:] = jnp.where(mask, y1, 0.0).astype(cdt)
-    y2 = _conv_rows(y1_ref, w2_ref, tr, wp)
+    y2 = _conv_rows(y1_ref, w2_ref, tr, wpp)
     y2 = jnp.maximum(y2 * s2_ref[:] + t2_ref[:], 0.0)
     out_ref[:] = y2.astype(out_ref.dtype)
 

@@ -145,15 +145,20 @@ def make_train_step(
         aux["popcount"] = out["popcount"]
         return optim_loss, aux
 
-    @functools.partial(jax.jit, static_argnames=("encoder_no_grad", "unet_no_grad"))
-    def step(params, opt_state, batch, key, *, encoder_no_grad=False, unet_no_grad=False):
+    @functools.partial(
+        jax.jit,
+        static_argnames=("encoder_no_grad", "unet_no_grad", "collect_watch"),
+    )
+    def step(params, opt_state, batch, key, *, encoder_no_grad=False,
+             unet_no_grad=False, collect_watch=False):
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key, encoder_no_grad, unet_no_grad
         )
-        if getattr(tcfg, "watch_every", 0) > 0:
+        if collect_watch:
             # per-layer gradient norms for the wandb.watch equivalent
-            # (reference run_train.py:75); scalars only, so the extra
-            # device->host traffic per step is a few hundred bytes
+            # (reference run_train.py:75). Static arg: the norms compile
+            # only into the 1-in-watch_every logging step, keeping the
+            # hot-path executable free of the ~100 reductions + transfer.
             flat, _ = jax.tree_util.tree_flatten_with_path(grads)
             aux["watch"] = {
                 jax.tree_util.keystr(path): jnp.sqrt(

@@ -244,12 +244,17 @@ class Trainer:
         return jax.device_put(dev_batch)
 
     def _lookahead_batches(self, epoch: int):
-        """Yield (dev_batch, host_batch): the NEXT batch's host->device DMA
-        is issued before the current step is dispatched, so the transfer
-        overlaps compute (device_put is async)."""
+        """Yield (dev_batch, host_batch, tier_flags): the NEXT batch's
+        host->device DMA is issued before the current step is dispatched,
+        so the transfer overlaps compute (device_put is async).
+        Tier-skipped batches (run_train.py:190-198) are dropped HERE,
+        before paying their transfer."""
         prev = None
         for batch in self.feed.epoch(epoch):
-            nxt = (self._put_train_batch(batch), batch)
+            flags = self._tier_flags(batch)
+            if flags is None:
+                continue
+            nxt = (self._put_train_batch(batch), batch, flags)
             if prev is not None:
                 yield prev
             prev = nxt
@@ -259,15 +264,17 @@ class Trainer:
     def train_epoch(self) -> Dict[str, float]:
         stats = defaultdict(float)
         nlog = 0
-        for i, (dev_batch, batch) in enumerate(
+        for i, (dev_batch, batch, flags) in enumerate(
             self._lookahead_batches(self.info["epoch"])
         ):
-            flags = self._tier_flags(batch)
-            if flags is None:
-                continue
             self._key, sub = jax.random.split(self._key)
+            collect_watch = (
+                self.tcfg.watch_every > 0
+                and self.info["iter"] % self.tcfg.watch_every == 0
+            )
             new_params, new_opt_state, aux = self.step_fn(
-                self.params, self.opt_state, dev_batch, sub, **flags
+                self.params, self.opt_state, dev_batch, sub,
+                collect_watch=collect_watch, **flags
             )
             if not (self.tcfg.skip_first and self.info["epoch"] == 0):
                 # --skip-first: run the full step (loss/metrics/logging) but
@@ -281,10 +288,7 @@ class Trainer:
                 raise FloatingPointError("detected Inf loss..")
 
             watch = aux.pop("watch", None)
-            if (
-                watch is not None
-                and self.info["iter"] % self.tcfg.watch_every == 0
-            ):
+            if watch is not None:
                 self.log_watch(watch)
 
             self.pred_buffer.add(np.asarray(aux.pop("popcount")))

@@ -24,11 +24,22 @@ def main():
     mcfg = model_config_from_args(args)
     ecfg = eval_config_from_args(args)
 
-    mesh = (
-        make_mesh(args.data_parallel, n_ensemble=args.ensemble_parallel)
-        if args.data_parallel > 1 or args.ensemble_parallel > 1
-        else None
-    )
+    if args.multihost:
+        import jax
+
+        from popcorn_tpu.dist.mesh import make_multihost_mesh
+
+        jax.distributed.initialize()
+        mesh = make_multihost_mesh(
+            args.data_parallel if args.data_parallel > 1 else None,
+            n_ensemble=args.ensemble_parallel,
+        )
+    else:
+        mesh = (
+            make_mesh(args.data_parallel, n_ensemble=args.ensemble_parallel)
+            if args.data_parallel > 1 or args.ensemble_parallel > 1
+            else None
+        )
     ev = Evaluator(paths, mcfg, ecfg, mesh=mesh, use_wandb=args.wandb)
     print("Experiment folder:", ev.experiment_folder)
 

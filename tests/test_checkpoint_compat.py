@@ -141,3 +141,13 @@ def test_pth_export_roundtrip(tmp_path):
 
     meta = load_torch_checkpoint_meta(path)
     assert meta["epoch"] == 4 and meta["iter"] == 99
+
+    # the exported key set must match a reference-format checkpoint
+    # EXACTLY — the reference loads with strict=True (run_eval.py:253)
+    # and its UNet registers per-stream outc submodules unconditionally
+    ref_sd = load_torch_state(_make_fake_pth(tmp_path))
+    exp_sd = load_torch_state(path)
+    assert set(exp_sd) == set(ref_sd), (
+        sorted(set(ref_sd) - set(exp_sd)),
+        sorted(set(exp_sd) - set(ref_sd)),
+    )

@@ -35,7 +35,8 @@ def test_fused_double_conv_matches_xla(rngk, f, h, w):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_fused_up_block_matches_xla(rngk):
+@pytest.mark.parametrize("h,w", [(24, 40), (19, 37)])
+def test_fused_up_block_matches_xla(rngk, h, w):
     f, c_skip = 4, 8
     p_up = {
         "tconv": {"w": _mk(rngk, (16, 2, 2, 8)), "b": _mk(rngk, (8,), 1.0)},
@@ -48,8 +49,8 @@ def test_fused_up_block_matches_xla(rngk):
         "bn1": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
         "bn2": {"scale": _mk(rngk, (8,), 1.0), "shift": _mk(rngk, (8,), 1.0)},
     }
-    x1 = _mk(rngk, (1, 24, 40, 4 * 16), 1.0)  # coarse, packed at f/2
-    x2 = _mk(rngk, (1, 24, 40, 16 * c_skip), 1.0)  # skip, packed at f
+    x1 = _mk(rngk, (1, h, w, 4 * 16), 1.0)  # coarse, packed at f/2
+    x2 = _mk(rngk, (1, h, w, 16 * c_skip), 1.0)  # skip, packed at f
     ref = K._packed_up(p_up, bn_up, x1, x2, f, c_skip=c_skip, dtype=None)
     got = K._packed_up(
         p_up, bn_up, x1, x2, f, c_skip=c_skip, dtype=None, use_pallas=True

@@ -85,7 +85,13 @@ def test_train_step_watch_aux():
         "y": rng.uniform(10, 1000, (b,)).astype(np.float32),
         "photometric": np.asarray([0.0, 1.0, 0.0, 1.0], np.float32),
     }
-    _, _, aux = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    # hot path: no watch collection compiled in
+    _, _, aux0 = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert "watch" not in aux0
+    # logging step: collect_watch=True (a static arg -> its own executable)
+    _, _, aux = step(
+        params, opt_state, batch, jax.random.PRNGKey(1), collect_watch=True
+    )
     assert "watch" in aux and len(aux["watch"]) > 10
     assert all(np.isfinite(float(v)) for v in aux["watch"].values())
     # head gradients must be nonzero
