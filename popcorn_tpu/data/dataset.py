@@ -23,6 +23,7 @@ data.feed.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -266,6 +267,10 @@ class PopulationDataset:
 
         self._sources: Dict[Tuple[str, str, bool], _RasterSource] = {}
         self._boundary_handles: Dict[str, GeoTIFF] = {}
+        # the multi-worker feeds call _source concurrently on a cold
+        # dataset; an unguarded check-then-set would open duplicate native
+        # handles (and with in_memory decode the whole mosaic per worker)
+        self._sources_lock = threading.Lock()
 
     # -- raster access ----------------------------------------------------------
 
@@ -274,27 +279,30 @@ class PopulationDataset:
             # VIIRS is a single season-less covariate raster (reference
             # PopulationDataset.py:267); no raw-tile fallback exists for it.
             key = ("viirs", "", False)
-            if key not in self._sources:
-                merged = self.paths.modality_path(self.region, "viirs", "")
-                self._sources[key] = _RasterSource(
-                    merged, None, None, in_memory=self.in_memory
-                )
-            return self._sources[key]
+            with self._sources_lock:
+                if key not in self._sources:
+                    merged = self.paths.modality_path(self.region, "viirs", "")
+                    self._sources[key] = _RasterSource(
+                        merged, None, None, in_memory=self.in_memory
+                    )
+                return self._sources[key]
         season = SEASONS[season_idx]
         key = (modality, season, asc)
-        if key not in self._sources:
-            merged = self.paths.modality_path(self.region, modality, season, asc)
-            tiles = self.paths.raw_tile_dir(self.region, modality, season, asc)
-            cache = self.paths.mosaic_index_path(self.region, modality, season, asc)
-            self._sources[key] = _RasterSource(
-                merged, tiles, cache, in_memory=self.in_memory
-            )
-        return self._sources[key]
+        with self._sources_lock:
+            if key not in self._sources:
+                merged = self.paths.modality_path(self.region, modality, season, asc)
+                tiles = self.paths.raw_tile_dir(self.region, modality, season, asc)
+                cache = self.paths.mosaic_index_path(self.region, modality, season, asc)
+                self._sources[key] = _RasterSource(
+                    merged, tiles, cache, in_memory=self.in_memory
+                )
+            return self._sources[key]
 
     def _boundary(self, level: str) -> GeoTIFF:
-        if level not in self._boundary_handles:
-            self._boundary_handles[level] = GeoTIFF(self.boundary_paths[level])
-        return self._boundary_handles[level]
+        with self._sources_lock:
+            if level not in self._boundary_handles:
+                self._boundary_handles[level] = GeoTIFF(self.boundary_paths[level])
+            return self._boundary_handles[level]
 
     def generate_raw_data(
         self,
