@@ -306,7 +306,11 @@ def save_popcorn_checkpoint(
         sd[f"head.{idx}.weight"] = _inv_conv1x1_w(params["head"][f"l{i + 1}"]["w"])
         sd[f"head.{idx}.bias"] = np.asarray(params["head"][f"l{i + 1}"]["b"], np.float32)
     ck = {
-        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        "model": {
+            # copy=True: jax-derived arrays are non-writable views and
+            # torch.from_numpy warns on them
+            k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()
+        },
         "epoch": epoch,
         "iter": iteration,
     }

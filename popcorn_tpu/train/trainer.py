@@ -133,6 +133,11 @@ class Trainer:
         else:
             self.params, self.consts = init_popcorn(key, mcfg)
 
+        n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(self.params))
+        print(
+            f"Model POPCORN; #Effective Params trainable: {n_params}"
+        )  # reference run_train.py:67-69
+
         self.stats = NormStats()
         self.optimizer = make_optimizer(tcfg)
         self.opt_state = self.optimizer.init(self.params)
