@@ -16,6 +16,7 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,9 +24,196 @@ import numpy as np
 
 REFERENCE_ESTIMATE_PATCHES_PER_SEC = 1.2
 
+# country-scale synthetic region for the measured full-pipeline run
+# (VERDICT round 2, next #4): 18432^2 px = 10x10 2048-patches per season
+# x4 seasons = 400 patch visits, real tiled+deflate GeoTIFFs through the
+# native reader — full-Rwanda is ~330 patches x4 seasons, same order.
+_BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+_BENCH_SIZE = int(os.environ.get("POPCORN_BENCH_SIZE", "18432"))
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _ensure_bench_region():
+    """Create (once, cached across rounds) the country-scale region."""
+    marker = os.path.join(_BENCH_DATA, f"ready_{_BENCH_SIZE}")
+    from popcorn_tpu.config import DataPaths
+
+    if os.path.exists(marker):
+        return DataPaths(_BENCH_DATA)
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+
+    log(f"generating {_BENCH_SIZE}^2 x4-season bench region (one-time)...")
+    t0 = time.time()
+    paths = make_synthetic_region(
+        _BENCH_DATA, "rwa", height=_BENCH_SIZE, width=_BENCH_SIZE,
+        n_regions=(24, 24), seed=1600,
+    )
+    open(marker, "w").close()
+    log(f"bench region generated in {time.time() - t0:.0f}s")
+    return paths
+
+
+def full_pipeline_bench(members, consts, mcfg, device_pps):
+    """Measured end-to-end country-scale eval: host feed -> device fold ->
+    stitch -> census aggregation -> GeoTIFF writes, wall-clock split.
+
+    Runs the pipeline twice: cold raster reads (the honest end-to-end
+    number on THIS host — note it has a single CPU core; the reference
+    itself warns the eval is IO-bound, README.md:178) and with the
+    mosaics preloaded to RAM (--in_memory, the production layout where
+    the feed is memcpy-bound), which is the chip-utilization claim.
+    """
+    import pandas as pd
+
+    from popcorn_tpu.agg.census_agg import (
+        adjust_map_to_census,
+        convert_popmap_to_census,
+    )
+    from popcorn_tpu.config import TESTLEVELS_EVAL
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.io.geotiff import GeoTIFF
+
+    paths = _ensure_bench_region()
+    out = {}
+    for mode in ("cold", "in_memory"):
+        ds = PopulationDataset(
+            paths, "rwa", mode="test", patchsize=2048, overlap=128,
+            s1=True, s2=True, nir=True, fourseasons=True,
+            in_memory=(mode == "in_memory"),
+        )
+        timings = {}
+        t0 = time.time()
+        maps = run_sliding_inference(
+            members, consts, mcfg, ds, stats=NormStats(), batch_size=1,
+            timings=timings,
+        )
+        t_eval = time.time() - t0
+        n = timings.get("n_patches", 0)
+        dev_s = n / device_pps if device_pps else float("nan")
+        util = dev_s / timings["total_s"] if timings.get("total_s") else 0.0
+        log(
+            f"full_pipeline[{mode}]: {n} patch-visits in {t_eval:.1f}s "
+            f"(feed_wait {timings['feed_wait_s']:.1f}s, dispatch "
+            f"{timings['dispatch_s']:.1f}s, finalize {timings['finalize_s']:.1f}s); "
+            f"device-time est {dev_s:.1f}s -> chip {util * 100:.0f}% busy"
+        )
+        out[mode] = {
+            "eval_s": round(t_eval, 2),
+            "feed_wait_s": round(timings["feed_wait_s"], 2),
+            "dispatch_s": round(timings["dispatch_s"], 2),
+            "finalize_s": round(timings["finalize_s"], 2),
+            "n_patch_visits": n,
+            "chip_busy_frac": round(util, 3),
+        }
+
+        if mode == "in_memory":
+            # census aggregation + dasymmetric adjust + GeoTIFF writes
+            # (the rest of the reference hot loop, run_eval.py:156-200)
+            t0 = time.time()
+            level = "coarse"
+            with GeoTIFF(ds.boundary_paths[level]) as g:
+                boundary = g.read(1, squeeze=True)
+            census = pd.read_csv(ds.census_paths[level])
+            pred_c, gt_c = convert_popmap_to_census(maps["map"], boundary, census)
+            adj = adjust_map_to_census(maps["map"], boundary, census)
+            t_census = time.time() - t0
+            t0 = time.time()
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                ds.save(maps["map"], td)
+                ds.save(maps["map_std"], td, tag="STD")
+                ds.save(adj, td, tag="ADJ")
+            t_write = time.time() - t0
+            from popcorn_tpu.losses.losses import r2 as _r2
+
+            import jax.numpy as jnp
+
+            rr = float(_r2(jnp.asarray(pred_c), jnp.asarray(gt_c)))
+            log(
+                f"full_pipeline census-agg+adjust: {t_census:.1f}s, "
+                f"3x GeoTIFF writes ({_BENCH_SIZE}^2): {t_write:.1f}s, "
+                f"census r2 (synthetic, random heads): {rr:.3f}"
+            )
+            out["census_agg_s"] = round(t_census, 2)
+            out["geotiff_write_s"] = round(t_write, 2)
+        ds.close()
+    return out
+
+
+def train_e2e_bench(params0, consts, mcfg):
+    """Steady-state train-epoch throughput WITH the host feed (VERDICT
+    round 2, next #7): one warmup epoch (compiles per bucket), then a
+    timed epoch; asserts zero XLA compile requests during the timed epoch
+    (counted via jax.monitoring compilation-cache events)."""
+    import jax
+
+    from popcorn_tpu.config import TrainConfig
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.feed import WeaksupFeed
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    paths = _ensure_bench_region()
+    ds = PopulationDataset(
+        paths, "rwa", mode="weaksup", split="all", train_level="coarse",
+        s1=True, s2=True, nir=True, fourseasons=True,
+        max_pix=10_000_000, max_pix_box=12_000_000,
+    )
+    tcfg = TrainConfig(weak_batch_size=2)
+    feed = WeaksupFeed(
+        [ds], batch_size=2, bucket_ladder=tcfg.bucket_ladder, seed=1600,
+        num_workers=1, max_samples=128,
+    )
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params0)
+    step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+
+    def run_epoch(epoch):
+        n, t0 = 0, time.time()
+        p, o = params0, opt_state
+        key = jax.random.PRNGKey(epoch)
+        for batch in feed.epoch(epoch):
+            dev = jax.device_put(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+            key, sub = jax.random.split(key)
+            p, o, aux = step(p, o, dev, sub)
+            n += batch["y"].shape[0]
+        jax.block_until_ready(p)
+        return n, time.time() - t0
+
+    n_warm, t_warm = run_epoch(0)  # compiles one executable per bucket
+    log(f"train e2e warmup epoch: {n_warm} samples in {t_warm:.1f}s")
+
+    from jax._src import monitoring as _mon
+
+    compile_events = []
+
+    def _listener(name, **kw):
+        if "compile" in name:
+            compile_events.append(name)
+
+    _mon.register_event_listener(_listener)
+    n, dt = run_epoch(1)
+    _mon.unregister_event_listener(_listener)
+    sps = n / dt
+    log(
+        f"train e2e epoch: {n} samples in {dt:.1f}s -> {sps:.2f} samples/s, "
+        f"compile requests during timed epoch: {len(compile_events)}"
+    )
+    ds.close()
+    return {
+        "samples_per_sec": round(sps, 3),
+        "epoch_s": round(dt, 2),
+        "n_samples": n,
+        "recompiles_after_warmup": len(compile_events),
+    }
 
 
 def main():
@@ -157,22 +345,42 @@ def main():
     train_mpix = tb * th * tw / tdt / 1e6
     log(f"train step {tb}x{th}^2: {tdt * 1e3:.1f} ms ({train_mpix:.1f} Mpix/s fwd+bwd)")
 
-    print(
-        json.dumps(
-            {
-                "metric": "ensemble5_2048px_patches_per_sec",
-                "value": round(pps, 4),
-                "unit": "patches/s",
-                # NOTE: estimate, not a measurement — derived from the
-                # reference's published training times and its sequential
-                # 5-member eval loop (see module docstring)
-                "vs_baseline": round(pps / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 3),
-                "vs_baseline_is_estimate": True,
-                "train_step_ms_2x1024": round(tdt * 1e3, 2),
-                "train_mpix_per_sec": round(train_mpix, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "ensemble5_2048px_patches_per_sec",
+        "value": round(pps, 4),
+        "unit": "patches/s",
+        # NOTE: estimate, not a measurement — derived from the
+        # reference's published training times and its sequential
+        # 5-member eval loop (see module docstring)
+        "vs_baseline": round(pps / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 3),
+        "vs_baseline_is_estimate": True,
+        "train_step_ms_2x1024": round(tdt * 1e3, 2),
+        "train_mpix_per_sec": round(train_mpix, 2),
+        # Bag members across the 'ensemble' mesh axis need n>=2 chips;
+        # this host has one. Correctness of the 2-D ('data','ensemble')
+        # path is verified on the virtual CPU mesh (tests/test_multichip.py
+        # ::test_ensemble_sharded_inference_matches_scan_fold and the
+        # dryrun_multichip 2-D section) — tested-correct, not tested-fast.
+        "ensemble_parallel": "requires n>=2 chips; dryrun-verified only",
+    }
+
+    if os.environ.get("POPCORN_BENCH_FULL", "1") != "0":
+        # measured country-scale end-to-end pipeline (VERDICT r2 #4)
+        try:
+            result["full_pipeline"] = full_pipeline_bench(
+                members, consts, mcfg, device_pps=pps
+            )
+        except Exception as e:  # keep the ONE-json-line contract
+            log(f"full_pipeline bench failed: {type(e).__name__}: {e}")
+            result["full_pipeline"] = {"error": str(e)[:200]}
+        # steady-state epoch throughput with the host feed (VERDICT r2 #7)
+        try:
+            result["train_e2e"] = train_e2e_bench(params0, consts, mcfg)
+        except Exception as e:
+            log(f"train_e2e bench failed: {type(e).__name__}: {e}")
+            result["train_e2e"] = {"error": str(e)[:200]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -14,7 +14,8 @@ with a per-region Python loop over bbox crops and boolean masks
   * adjustment is a per-pixel gather of the per-region scale followed by
     one multiply (:844-850).
 
-Equivalence to the reference loop is covered by tests/test_census_agg.py.
+Equivalence to the reference loop is covered by the census-aggregation
+tests in tests/test_data_pipeline.py.
 """
 
 from __future__ import annotations

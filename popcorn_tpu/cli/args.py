@@ -48,9 +48,6 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host pod: jax.distributed.initialize() + a "
                         "DCN x ICI hybrid mesh (data-parallel across hosts, "
                         "data/ensemble within each ICI slice)")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="int8 W8A8 inference through the fused Pallas "
-                        "kernels (2x MXU peak on v5e; eval path only)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.debug_nans: raise at the op that produced a NaN "
                         "(the reference's torch.autograd.set_detect_anomaly)")
@@ -127,6 +124,12 @@ def eval_parser() -> argparse.ArgumentParser:
                         "extra pixels on TPU HBM)")
     p.add_argument("--patch_overlap", type=int, default=128,
                    help="sliding-window halo (reference overlap=128)")
+    # eval-only: int8 must not leak into the training CLI, where it would
+    # silently run mid-training validation/best-model selection through
+    # quantized inference while the train steps stay f32
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 W8A8 inference through the fused Pallas "
+                        "kernels (2x MXU peak on v5e)")
     return p
 
 

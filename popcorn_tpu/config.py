@@ -372,6 +372,27 @@ class EvalConfig:
     patchsize: int = 2048  # reference inference_patch_size (constants.py:12)
     overlap: int = 128  # reference overlap (constants.py:13)
 
+    def __post_init__(self):
+        # user-settable since round 2: a degenerate pair (patchsize <=
+        # 2*overlap) would zero out the halo-validity mask for interior
+        # patches and silently stitch nothing
+        if self.patchsize <= 2 * self.overlap:
+            raise ValueError(
+                f"--patchsize ({self.patchsize}) must exceed twice "
+                f"--patch_overlap ({self.overlap}): the halo mask keeps only "
+                f"the interior (patchsize - 2*overlap) pixels of each patch"
+            )
+        if self.patchsize % 4 != 0:
+            import warnings
+
+            warnings.warn(
+                f"--patchsize {self.patchsize} is not a multiple of 4: the "
+                "space-to-depth packed engine and packed device stitching "
+                "are disabled (choose_pack_factor falls back to 1), a large "
+                "TPU performance cliff",
+                stacklevel=2,
+            )
+
 
 def load_dataset_stats(path: Optional[str] = None) -> Dict[str, Dict[str, List[float]]]:
     """Load per-modality normalization statistics.

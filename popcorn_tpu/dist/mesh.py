@@ -83,17 +83,69 @@ def make_multihost_mesh(
         return make_mesh(nd, n_ensemble=n_ensemble)
     from jax.experimental import mesh_utils
 
-    if n_ensemble > 1:
+    try:
+        if n_ensemble > 1:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                (nd, n_ensemble), (n_hosts, 1), devices=jax.devices()
+            )
+            # flatten the (host, data) axes into one global 'data' axis
+            devices = devices.reshape(n_hosts * nd, n_ensemble)
+            return Mesh(devices, axis_names=("data", "ensemble"))
         devices = mesh_utils.create_hybrid_device_mesh(
-            (nd, n_ensemble), (n_hosts, 1), devices=jax.devices()
+            (nd,), (n_hosts,), devices=jax.devices()
         )
-        # flatten the (host, data) axes into one global 'data' axis
-        devices = devices.reshape(n_hosts * nd, n_ensemble)
-        return Mesh(devices, axis_names=("data", "ensemble"))
-    devices = mesh_utils.create_hybrid_device_mesh(
-        (nd,), (n_hosts,), devices=jax.devices()
-    )
-    return Mesh(devices.reshape(-1), axis_names=("data",))
+        return Mesh(devices.reshape(-1), axis_names=("data",))
+    except ValueError:
+        # create_hybrid_device_mesh groups by the accelerator's
+        # ``slice_index`` attribute, which CPU (and some single-slice)
+        # platforms don't expose. Same layout by hand: group devices by
+        # process so each host's ICI block is contiguous on the 'data'
+        # axis — the gradient psum then reduces within each host's block
+        # before crossing DCN once.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        if len(devs) < n_hosts * nd * n_ensemble:
+            raise ValueError(
+                f"need {n_hosts}x{nd}x{n_ensemble} devices, have {len(devs)}"
+            )
+        arr = np.array(devs[: n_hosts * nd * n_ensemble])
+        if n_ensemble > 1:
+            return Mesh(
+                arr.reshape(n_hosts * nd, n_ensemble),
+                axis_names=("data", "ensemble"),
+            )
+        return Mesh(arr, axis_names=("data",))
+
+
+def device_put_global(v, sharding):
+    """``jax.device_put`` that also works when the sharding spans processes.
+
+    Contract: every process passes the same GLOBAL host value (the feeds
+    are deterministic, so each host materializes the identical batch); each
+    process then transfers only its addressable shards. Single-process this
+    is a plain device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    arr = np.asarray(v)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def fetch_to_host(x):
+    """``np.asarray`` that is safe for cross-process-sharded arrays.
+
+    Under a multihost mesh the 'data' axis spans processes, so outputs of
+    the train/eval steps are sharded across non-addressable devices and a
+    bare ``np.asarray`` raises RuntimeError on the first batch. Gather the
+    global value first (``process_allgather`` is collective: every process
+    must call it on the same arrays in the same order). Single-process
+    (including the virtual CPU mesh) this is a plain asarray."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True)),
+            x,
+        )
+    return jax.tree.map(np.asarray, x)
 
 
 def batch_sharding(mesh: Optional[Mesh]):
@@ -120,7 +172,7 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], *, batch_keys: Sequence[str])
         if not isinstance(v, (np.ndarray, jax.Array)):
             out[k] = v
             continue
-        out[k] = jax.device_put(v, bs if k in batch_keys else rep)
+        out[k] = device_put_global(v, bs if k in batch_keys else rep)
     return out
 
 

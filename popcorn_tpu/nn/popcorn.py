@@ -103,9 +103,14 @@ def use_pallas_stream(cfg: ModelConfig, train: bool = False) -> bool:
     """
     if train:
         return False
-    if getattr(cfg, "quantize", None):
-        return True  # the int8 path runs through these kernels
     v = getattr(cfg, "pallas_stream", None)
+    if getattr(cfg, "quantize", None):
+        if v is False:
+            raise ValueError(
+                "quantize='int8' requires the fused Pallas kernels; "
+                "pallas_stream=False conflicts with it — drop one of the two"
+            )
+        return True  # the int8 path runs through these kernels
     if v is None:
         return False
     return bool(v)

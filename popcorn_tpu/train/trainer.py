@@ -173,9 +173,14 @@ class Trainer:
                     f"by the data mesh size ({n_mesh})"
                 )
             rep = replicated(self.mesh)
-            self.params = jax.device_put(self.params, rep)
-            self.opt_state = jax.device_put(self.opt_state, rep)
-            self.consts = jax.device_put(self.consts, rep)
+            from ..dist.mesh import device_put_global
+
+            _rep_put = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: device_put_global(a, rep), t
+            )  # multihost-safe: the replicated sharding spans processes
+            self.params = _rep_put(self.params)
+            self.opt_state = _rep_put(self.opt_state)
+            self.consts = _rep_put(self.consts)
 
         self.info = {"epoch": 0, "iter": 0, "sampleitr": 0}
         self.pred_buffer = NumberList(300)
@@ -296,7 +301,11 @@ class Trainer:
             if watch is not None:
                 self.log_watch(watch)
 
-            self.pred_buffer.add(np.asarray(aux.pop("popcount")))
+            # popcount is batch-sharded; under a multihost mesh the shards
+            # span processes, so gather before host use (ADVICE round 2)
+            from ..dist.mesh import fetch_to_host
+
+            self.pred_buffer.add(fetch_to_host(aux.pop("popcount")))
             self.target_buffer.add(np.asarray(batch["y"]))
             for k, v in aux.items():
                 stats[k] += float(v)

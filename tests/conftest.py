@@ -26,6 +26,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-minute CPU compiles)"
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1600)

@@ -1,0 +1,39 @@
+"""REAL multi-process multihost execution (VERDICT round 2, next #3).
+
+Spawns 2 localhost CPU processes with 4 virtual devices each via
+``jax.distributed.initialize``, builds the hybrid DCN x ICI mesh
+(dist/mesh.py::make_multihost_mesh — previously only exercised in
+single-host degrade), runs one data-parallel train step whose batch axis
+SPANS the process boundary, and checks the result against the identical
+step on this process's single-host 8-device mesh. This converts the
+``--multihost`` CLI path (run_train.py / run_eval.py) from "written" to
+"executed as designed": cross-process gradient psum, cross-process
+``device_put_global`` commits, and the ``fetch_to_host`` gather of a
+non-addressable-sharded output all run for real.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_two_process_multihost_matches_single_process():
+    from popcorn_tpu.dist.mesh import make_mesh
+    from popcorn_tpu.dist.multihost import launch_workers, run_demo_step
+
+    # reference value: the same deterministic step on the in-process
+    # 8-device CPU mesh (conftest provisions it)
+    mesh = make_mesh(8)
+    ref_loss, ref_pop = run_demo_step(mesh)
+    assert np.isfinite(ref_loss)
+
+    results = launch_workers(num_processes=2, local_devices=4)
+    assert len(results) == 2
+    (l0, p0), (l1, p1) = results
+    # both processes see the same (replicated) loss ...
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(p0, p1, rtol=1e-6)
+    # ... and the 2x4 hybrid mesh computes the same step as 1x8 (the
+    # hierarchical psum may re-associate the 8-way sum: small tolerance)
+    np.testing.assert_allclose(l0, ref_loss, rtol=1e-4)
+    np.testing.assert_allclose(p0, ref_pop, rtol=1e-4)

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Push-button R² parity harness for the released POPCORN checkpoints.
+
+The north-star acceptance test (BASELINE.md:27-29): evaluate the released
+5-member Bag-of-POPCORN (reference README.md:200, seeds 1600-1604) with
+popcorn-tpu and compare the census-level metrics against the reference's
+published numbers. The released weights and country rasters are not
+mountable in the build environment (zero egress), so this harness makes
+the test one command for the day they are:
+
+  python tools/parity_released.py -r m1.pth m2.pth m3.pth m4.pth m5.pth \
+      --data_root /data/PopMapData --region rwa --fourseasons \
+      --expected expected_rwa.json
+
+``--expected`` is a JSON object {metric_name: value} (e.g.
+{"Population_MainCensus_rwa_fine/r2": 0.66}); the harness prints a diff
+table and exits non-zero if any |ours - expected| > --rtol * |expected|.
+Without --expected it prints our metrics for manual comparison with the
+paper (arXiv:2311.14006 — the repo publishes no machine-readable table,
+SURVEY.md §6).
+
+``--selftest`` proves the whole path executes today: it fabricates a
+synthetic region + a 5-member .pth quintet through the exporter
+(compat/torch_convert.py::save_popcorn_checkpoint), runs the
+converter -> evaluator -> census-metrics pipeline end-to-end, and checks
+the metrics agree with evaluating the same members in-process.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evaluate(checkpoints, data_root, region, train_level, fourseasons,
+             patch_batch=1, paths=None, patchsize=2048, overlap=128):
+    from popcorn_tpu.cli.args import model_config_from_args
+    from popcorn_tpu.config import DataPaths, EvalConfig
+    from popcorn_tpu.infer.evaluator import Evaluator
+
+    # the canonical README eval config (reference README.md:167-173)
+    ns = argparse.Namespace(
+        Sentinel1=True, Sentinel2=True, NIR=True, VIIRS=False,
+        occupancymodel=True, pretrained=False, biasinit=0.75,
+        sentinelbuildings=True, buildinginput=False, segmentationinput=False,
+        feature_extractor="DDA", compute_dtype="float32", fused_head=None,
+        quantize=None,
+    )
+    mcfg = model_config_from_args(ns)
+    ecfg = EvalConfig(
+        target_regions=(region,), train_level=(train_level,),
+        checkpoints=tuple(checkpoints), fourseasons=fourseasons,
+        patch_batch=patch_batch, patchsize=patchsize, overlap=overlap,
+    )
+    if paths is None:
+        paths = DataPaths(data_root)
+    ev = Evaluator(paths, mcfg, ecfg)
+    return ev.test_target(save=True)
+
+
+def diff_expected(ours, expected, rtol):
+    rows, failed = [], False
+    for k, want in sorted(expected.items()):
+        got = ours.get(k)
+        if got is None:
+            rows.append((k, want, None, "MISSING"))
+            failed = True
+            continue
+        ok = abs(got - want) <= rtol * max(abs(want), 1e-12)
+        rows.append((k, want, got, "ok" if ok else "FAIL"))
+        failed |= not ok
+    w = max(len(r[0]) for r in rows) if rows else 10
+    print(f"{'metric':<{w}}  {'expected':>10}  {'ours':>10}  verdict")
+    for k, want, got, verdict in rows:
+        g = f"{got:.4f}" if got is not None else "—"
+        print(f"{k:<{w}}  {want:>10.4f}  {g:>10}  {verdict}")
+    return failed
+
+
+def selftest():
+    """Fabricate region + .pth quintet, run the full harness path."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=1"
+    )
+    from popcorn_tpu.compat.torch_convert import save_popcorn_checkpoint
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.data.synthetic import make_synthetic_region
+    from popcorn_tpu.nn.init import init_popcorn
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_synthetic_region(
+            os.path.join(td, "data"), "rwa", height=192, width=256, seed=31
+        )
+        mcfg = ModelConfig(pretrained=False)
+        params, consts = init_popcorn(jax.random.PRNGKey(1600), mcfg)
+        members = []
+        for s in range(5):
+            member = jax.tree.map(lambda x, s=s: x * (1.0 + 0.01 * s), params)
+            p = os.path.join(td, f"m{s + 1}.pth")
+            save_popcorn_checkpoint(p, member, consts, epoch=s, iteration=s)
+            members.append(p)
+        ours = evaluate(
+            members, None, "rwa", "coarse", fourseasons=False, paths=paths,
+            patchsize=96, overlap=16,
+        )
+        r2_keys = [k for k in ours if k.endswith("/r2")]
+        assert r2_keys, f"no r2 metrics produced: {sorted(ours)}"
+        for k in sorted(ours):
+            print(f"  {k}: {ours[k]:.4f}")
+        assert all(np.isfinite(v) for v in ours.values()), ours
+        print("selftest OK: converter -> evaluator -> census metrics "
+              f"produced {len(ours)} finite metrics from a .pth quintet")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-r", "--checkpoints", nargs="+",
+                    help="released .pth members (m1..m5)")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--region", default="rwa")
+    ap.add_argument("--train_level", default="coarse")
+    ap.add_argument("-fs", "--fourseasons", action="store_true")
+    ap.add_argument("--patch_batch", type=int, default=1)
+    ap.add_argument("--expected", default=None,
+                    help="JSON file {metric: expected_value}")
+    ap.add_argument("--rtol", type=float, default=1e-3,
+                    help="relative tolerance vs expected (BASELINE.json)")
+    ap.add_argument("--selftest", action="store_true")
+    a = ap.parse_args()
+
+    if a.selftest:
+        selftest()
+        return
+    if not a.checkpoints:
+        ap.error("-r/--checkpoints required (or --selftest)")
+    ours = evaluate(
+        a.checkpoints, a.data_root, a.region, a.train_level,
+        a.fourseasons, a.patch_batch,
+    )
+    for k in sorted(ours):
+        print(f"  {k}: {ours[k]:.4f}")
+    if a.expected:
+        with open(a.expected) as f:
+            expected = json.load(f)
+        if diff_expected(ours, expected, a.rtol):
+            sys.exit(1)
+        print("PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
