@@ -268,11 +268,15 @@ def main():
     f = 4
     batch = 1
     rng = np.random.default_rng(0)
+    # dtypes match InferenceFeed exactly (S2 uint16, mask/valid bool) so the
+    # full pipeline below reuses these executables from the in-process cache
     dev_batch = {
-        "S2": jnp.asarray(rng.uniform(0, 4000, (batch, ips, ips, 4)), jnp.float32),
+        "S2": jnp.asarray(
+            rng.uniform(0, 4000, (batch, ips, ips, 4)).astype(np.uint16)
+        ),
         "S1": jnp.asarray(rng.uniform(-25, 0, (batch, ips, ips, 2)), jnp.float32),
-        "mask": jnp.ones((batch, ips, ips), jnp.float32),
-        "valid": jnp.ones((batch,), jnp.float32),
+        "mask": jnp.ones((batch, ips, ips), bool),
+        "valid": jnp.ones((batch,), bool),
     }
     region = 4 * 2048  # a 4x4-patch region's accumulators stay on device
     accs = {

@@ -127,9 +127,12 @@ def eval_parser() -> argparse.ArgumentParser:
     # eval-only: int8 must not leak into the training CLI, where it would
     # silently run mid-training validation/best-model selection through
     # quantized inference while the train steps stay f32
-    p.add_argument("--quantize", choices=["int8"], default=None,
+    p.add_argument("--quantize", choices=["int8", "int8s"], default=None,
                    help="int8 W8A8 inference through the fused Pallas "
-                        "kernels (2x MXU peak on v5e)")
+                        "kernels (2x MXU peak on v5e). 'int8' = dynamic "
+                        "per-slab activation scales; 'int8s' = static "
+                        "calibrated scales with int8 block I/O (faster, "
+                        "slightly coarser; single-chip path)")
     return p
 
 

@@ -284,7 +284,11 @@ class ModelConfig:
     # the full fold measured 129 vs 115 ms); None = follows pallas_stream
     quantize: Optional[str] = None  # "int8": W8A8 inference through the
     # fused Pallas kernels (2x MXU peak; per-slab dynamic activation +
-    # per-channel weight scales; opt-in, breaks f32 bit-parity)
+    # per-channel weight scales; opt-in, breaks f32 bit-parity).
+    # "int8s": STATIC calibrated activation scales + int8 block I/O
+    # end-to-end through each UNet stream — one fused requant VPU pass
+    # per layer instead of the dynamic path's three, half the inter-block
+    # DMA bytes (nn/pallas_conv.py::_double_conv_kernel_qs)
     pallas_stream: Optional[bool] = None  # fused VMEM UNet-block kernels
     # (nn/pallas_conv.py: whole DoubleConv/Up blocks as single Pallas
     # kernels, double-buffered DMA); None = off — measured at parity with

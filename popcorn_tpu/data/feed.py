@@ -304,6 +304,18 @@ class InferenceFeed:
             for key in ("S2", "S1", "VIIRS", "building_counts"):
                 if key in items[0]:
                     arr = np.stack([it[key] for it in items]).astype(np.float32)
+                    if key == "S2":
+                        # S2 mosaics are stored uint16 (MPC: uint16+LZW,
+                        # reference README.md:245); the reader upcasts to
+                        # f32. When the roundtrip is lossless, ship uint16
+                        # to the device — HALF the bytes of the biggest
+                        # transfer — and let the normalize jit upcast
+                        # (fused into the subtract/divide). Float-sourced
+                        # or NaN-healed patches fail the check and stay
+                        # f32. Runs in the prefetch worker thread.
+                        u16 = arr.astype(np.uint16)
+                        if np.array_equal(u16, arr):
+                            arr = u16
                     if npad:
                         arr = np.concatenate([arr, np.repeat(arr[-1:], npad, 0)], 0)
                     batch[key] = arr

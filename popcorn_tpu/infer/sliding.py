@@ -96,7 +96,9 @@ def make_patch_forward(
         """Normalize + building score: one jit (compiled once per shape)."""
         sample = {}
         if mcfg.s2 and "S2" in batch:
-            sample["S2"] = batch["S2"]
+            # S2 may arrive uint16 (half the host->device bytes, feed.py);
+            # the upcast fuses into the normalize subtract/divide
+            sample["S2"] = batch["S2"].astype(jnp.float32)
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
         if mcfg.viirs and "VIIRS" in batch:
@@ -115,7 +117,7 @@ def make_patch_forward(
             score = batch["building_counts"]
         return x, score
 
-    def members(stacked_params, x, score, mask, valid):
+    def members(stacked_params, x, score, mask, valid, stacked_scales=None):
         """Member fold + masking: a second, separately-compiled jit.
 
         Splitting prep/members keeps each XLA module small enough to
@@ -154,15 +156,18 @@ def make_patch_forward(
             score_p = to_flat(score3)
             zeros_p = jnp.zeros(score_p.shape, jnp.float32)
 
-            def body(carry, params):
+            def body(carry, ps):
+                params, scales = ps
                 ds, dsq, ss, ssq = carry
                 dense, scale = packed_member_maps(
-                    params, consts, sar_p, opt_p, f, score_p, mcfg_member
+                    params, consts, sar_p, opt_p, f, score_p, mcfg_member,
+                    scales=scales,
                 )
                 return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
 
             (ds, dsq, ss, ssq), _ = jax.lax.scan(
-                body, (zeros_p, zeros_p, zeros_p, zeros_p), stacked_params
+                body, (zeros_p, zeros_p, zeros_p, zeros_p),
+                (stacked_params, stacked_scales),
             )
             m_p = to_flat(m)
             if packed_output:
@@ -299,22 +304,60 @@ def make_patch_forward(
                 "(reference PopulationDataset.py:269-287), or pass -senbuilds."
             )
 
+    # STATIC int8 ('int8s'): per-member activation scales are calibrated
+    # ONCE on the first patch batch (plain f32 XLA mirror of the stream,
+    # nn/packed.py::calibrate_packed_stream) and then ride the member scan
+    # as small scalar arrays. Lazy (data-dependent), so the calibration
+    # lives here rather than at fwd construction.
+    from ..nn.popcorn import quantize_static_int8
+
+    # mesh-sharded folds keep the dynamic kernels (the scales argument
+    # does not thread through the fixed shard_map/in_shardings signatures)
+    _static_q = quantize_static_int8(mcfg) and mesh is None
+    _cal: Dict[str, Any] = {}
+
+    def _member_scales(stacked_params, x):
+        if not _static_q:
+            return None
+        if "scales" not in _cal:
+            from ..nn.popcorn import calibrate_member_scales, prepare_packed_streams
+
+            def calibrate(sp, xx):
+                sar_p, opt_p, f = prepare_packed_streams(xx, mcfg_member)
+                if f != 4:
+                    return None
+                return jax.lax.map(
+                    lambda p: calibrate_member_scales(p, consts, sar_p, opt_p, f),
+                    sp,
+                )
+
+            sc = jax.jit(calibrate)(stacked_params, x)
+            _cal["scales"] = None if sc is None else jax.block_until_ready(sc)
+        return _cal["scales"]
+
     def fn_factory(prep_j, members_j):
         def fn(stacked_params, batch):
             _check_counts(batch)
             x, score = prep_j(
                 {k: batch[k] for k in _PREP_KEYS if k in batch}
             )
+            if _static_q:
+                return members_j(
+                    stacked_params, x, score, batch["mask"], batch["valid"],
+                    _member_scales(stacked_params, x),
+                )
             return members_j(stacked_params, x, score, batch["mask"], batch["valid"])
 
         return fn
 
-    def fused(stacked_params, batch):
+    def fused(stacked_params, batch, stacked_scales=None):
         _check_counts(batch)
         x, score = prep(
             {k: batch[k] for k in _PREP_KEYS if k in batch}
         )
-        return members(stacked_params, x, score, batch["mask"], batch["valid"])
+        return members(
+            stacked_params, x, score, batch["mask"], batch["valid"], stacked_scales
+        )
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -355,7 +398,17 @@ def make_patch_forward(
     if single_dispatch:
         # one fused jit per patch: slower first compile (persistent-cached),
         # one less dispatch per batch afterwards
-        return jax.jit(fused)
+        fused_j = jax.jit(fused)
+        if not _static_q:
+            return fused_j
+        prep_j = jax.jit(prep)
+
+        def fn_single(stacked_params, batch):
+            _check_counts(batch)
+            x, _ = prep_j({k: batch[k] for k in _PREP_KEYS if k in batch})
+            return fused_j(stacked_params, batch, _member_scales(stacked_params, x))
+
+        return fn_single
     return fn_factory(jax.jit(prep), jax.jit(members))
 
 
@@ -612,6 +665,26 @@ def run_sliding_inference(
 
     _DEV_KEYS = ("S2", "S1", "VIIRS", "building_counts", "mask", "valid")
 
+    # The halo-validity mask is the SAME geometric array for every patch
+    # (validity_mask(patchsize, patchsize, overlap), dataset.py:415; padded
+    # batch rows carry a zero mask, but the fold multiplies by
+    # valid=False for those rows anyway), so transfer it ONCE per shape
+    # instead of ~16 MB with every batch.
+    _mask_cache: Dict[Tuple, Any] = {}
+
+    def _dev_mask(host_mask):
+        key = (host_mask.shape, str(host_mask.dtype))
+        m = _mask_cache.get(key)
+        if m is None:
+            m = jax.block_until_ready(
+                jnp.broadcast_to(
+                    jax.device_put(np.ascontiguousarray(host_mask[0])),
+                    host_mask.shape,
+                )
+            )
+            _mask_cache[key] = m
+        return m
+
     def _put(batch):
         dev_batch = {k: batch[k] for k in _DEV_KEYS if k in batch}
         if mesh is None:
@@ -619,7 +692,10 @@ def run_sliding_inference(
             # issued one batch AHEAD so the ~60-80 ms host->device DMA of a
             # 2048^2 patch overlaps the previous patch's compute instead of
             # serialising with it (measured on the axon tunnel)
+            host_mask = dev_batch.pop("mask", None)
             dev_batch = jax.device_put(dev_batch)
+            if host_mask is not None:
+                dev_batch["mask"] = _dev_mask(host_mask)
         elif jax.process_count() > 1:
             # multihost: jit's implicit conversion can't commit host arrays
             # to a sharding that spans processes — every key is per-patch,

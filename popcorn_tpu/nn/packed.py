@@ -377,6 +377,159 @@ def packed_unet_stream(
     return u1  # packed f0, 8ch
 
 
+def calibrate_packed_stream(
+    p: Tree,
+    bn: Tree,
+    x: jnp.ndarray,
+    f0: int,
+    *,
+    t0: int = 8,
+    t1: int = 16,
+    margin: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Per-block activation scales for the STATIC int8 path ('int8s').
+
+    Mirrors packed_unet_stream in plain f32 XLA and records amax/127 for
+    every quantized tensor: the stream input, each DoubleConv's mid (y1)
+    and output, each Up block's tconv output and mid. Runs ONCE per
+    member on a calibration patch (infer/sliding.py); the scalars then
+    fold into the pallas kernels' e/g vectors (pallas_conv.py::
+    fused_double_conv_qs). ``margin`` > 1 trades clipping for step size.
+    """
+    f1, f2 = f0 // 2, max(f0 // 4, 1)
+    sc: Dict[str, jnp.ndarray] = {}
+
+    def amax(v, k):
+        sc[k] = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32))), 1e-6) \
+            / 127.0 * margin
+
+    def aff(y, b, s, t, f):
+        y = y + lift_vec(b, f).astype(y.dtype)
+        return jax.nn.relu(
+            y * lift_vec(s, f).astype(y.dtype) + lift_vec(t, f).astype(y.dtype)
+        )
+
+    def dc(pp, bb, xx, f, k):
+        y1 = aff(
+            conv_packed(xx, lift_conv3x3(pp["conv1"]["w"], f)),
+            pp["conv1"]["b"], bb["bn1"]["scale"], bb["bn1"]["shift"], f,
+        )
+        amax(y1, f"{k}_y1")
+        y2 = aff(
+            conv_packed(y1, lift_conv3x3(pp["conv2"]["w"], f)),
+            pp["conv2"]["b"], bb["bn2"]["scale"], bb["bn2"]["shift"], f,
+        )
+        amax(y2, f"{k}_out")
+        return y2
+
+    def up(pu, bu, x1_, x2_, f, c_skip, k, last):
+        u = matmul_lanes(x1_, lift_tconv(pu["tconv"]["w"], f))
+        u = u + lift_vec(pu["tconv"]["b"], f).astype(u.dtype)
+        amax(u, f"{k}_up")
+        w1 = pu["conv"]["conv1"]["w"]
+        y1 = aff(
+            conv_packed(x2_, lift_conv3x3(w1[:, :, :c_skip], f))
+            + conv_packed(u, lift_conv3x3(w1[:, :, c_skip:], f)),
+            pu["conv"]["conv1"]["b"],
+            bu["bn1"]["scale"], bu["bn1"]["shift"], f,
+        )
+        amax(y1, f"{k}_y1")
+        y2 = aff(
+            conv_packed(y1, lift_conv3x3(pu["conv"]["conv2"]["w"], f)),
+            pu["conv"]["conv2"]["b"],
+            bu["bn2"]["scale"], bu["bn2"]["shift"], f,
+        )
+        if not last:
+            amax(y2, f"{k}_out")
+        return y2
+
+    x = x.astype(jnp.float32)
+    amax(x, "in")
+    x1 = dc(p["inc"], bn["inc"], x, f0, "inc")
+    d1 = dc(p["down1"], bn["down1"], pool_packed(x1, f0, t0), f1, "down1")
+    d2 = dc(p["down2"], bn["down2"], pool_packed(d1, f1, t1), f2, "down2")
+    u2 = up(p["up2"], bn["up2"], d2, d1, f1, t1, "up2", last=False)
+    up(p["up1"], bn["up1"], u2, x1, f0, t0, "up1", last=True)
+    return sc
+
+
+def packed_unet_stream_qs(
+    p: Tree,
+    bn: Tree,
+    x: jnp.ndarray,
+    f0: int,
+    scales: Dict[str, jnp.ndarray],
+    *,
+    t0: int = 8,
+    t1: int = 16,
+    dtype=None,
+) -> jnp.ndarray:
+    """One UNet stream END-TO-END in static int8 (inference only).
+
+    Every block is a fused pallas kernel with int8 HBM I/O (half the
+    inter-block DMA bytes of the dynamic path), int8 MXU dots, and one
+    fused dequant+affine+relu+requant VPU pass per layer. Max-pooling
+    commutes with quantization (max of int8 codes = code of max), so the
+    XLA glue between blocks never dequantizes; only the final up1 block
+    emits float features for the head. Requires f0 == 4 (the production
+    2048/4096-patch layout)."""
+    assert f0 == 4, "static int8 stream requires pack factor 4"
+    from .pallas_conv import fused_double_conv_qs, fused_up_block_qs, quantize_static
+
+    f1, f2 = f0 // 2, max(f0 // 4, 1)
+    s = scales
+    xq = quantize_static(x, s["in"])
+
+    def dc_args(pp, bb, f):
+        return (
+            lift_conv3x3(pp["conv1"]["w"], f), lift_vec(pp["conv1"]["b"], f),
+            {"scale": lift_vec(bb["bn1"]["scale"], f),
+             "shift": lift_vec(bb["bn1"]["shift"], f)},
+            lift_conv3x3(pp["conv2"]["w"], f), lift_vec(pp["conv2"]["b"], f),
+            {"scale": lift_vec(bb["bn2"]["scale"], f),
+             "shift": lift_vec(bb["bn2"]["shift"], f)},
+        )
+
+    x1 = fused_double_conv_qs(
+        xq, *dc_args(p["inc"], bn["inc"], f0),
+        s_x=s["in"], s_y1=s["inc_y1"], s_out=s["inc_out"], dtype=dtype,
+    )
+    d1 = fused_double_conv_qs(
+        pool_packed(x1, f0, t0), *dc_args(p["down1"], bn["down1"], f1),
+        s_x=s["inc_out"], s_y1=s["down1_y1"], s_out=s["down1_out"], dtype=dtype,
+    )
+    d2 = fused_double_conv_qs(
+        pool_packed(d1, f1, t1), *dc_args(p["down2"], bn["down2"], f2),
+        s_x=s["down1_out"], s_y1=s["down2_y1"], s_out=s["down2_out"], dtype=dtype,
+    )
+
+    def up_args(pu, bu, f, c_skip):
+        w1 = pu["conv"]["conv1"]["w"]
+        return (
+            lift_tconv(pu["tconv"]["w"], f), lift_vec(pu["tconv"]["b"], f),
+            lift_conv3x3(w1[:, :, :c_skip], f), lift_conv3x3(w1[:, :, c_skip:], f),
+            lift_vec(pu["conv"]["conv1"]["b"], f),
+            {"scale": lift_vec(bu["bn1"]["scale"], f),
+             "shift": lift_vec(bu["bn1"]["shift"], f)},
+            lift_conv3x3(pu["conv"]["conv2"]["w"], f),
+            lift_vec(pu["conv"]["conv2"]["b"], f),
+            {"scale": lift_vec(bu["bn2"]["scale"], f),
+             "shift": lift_vec(bu["bn2"]["shift"], f)},
+        )
+
+    u2 = fused_up_block_qs(
+        d2, d1, *up_args(p["up2"], bn["up2"], f1, t1),
+        s_x1=s["down2_out"], s_x2=s["down1_out"],
+        s_up=s["up2_up"], s_y1=s["up2_y1"], s_out=s["up2_out"], dtype=dtype,
+    )
+    u1 = fused_up_block_qs(
+        u2, x1, *up_args(p["up1"], bn["up1"], f0, t0),
+        s_x1=s["up2_out"], s_x2=s["inc_out"],
+        s_up=s["up1_up"], s_y1=s["up1_y1"], s_out=None, dtype=dtype,
+    )
+    return u1  # float features, packed f0, 8ch
+
+
 def packed_dual_stream_features(
     p: Tree,
     bn: Tree,

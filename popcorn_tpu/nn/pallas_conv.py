@@ -206,6 +206,127 @@ def _quantize_weight(w9, cdim=-1):
     return wq, sw
 
 
+def _requant(acc, e_ref, g_ref, lo):
+    """Fold dequant+affine+activation+requant into ONE VPU pass:
+    int8( clip(round(acc_i32 * e + g), lo, 127) ).
+
+    relu folds into the lower clip bound (lo=0): round(relu(v)/s) ==
+    clip(round(v/s), 0, ...) for every v (negative v rounds to <= 0).
+    This replaces the dynamic path's three separate passes per layer
+    (FMA+relu, max-abs reduction, scale+round+clip+cast) — the VPU work
+    that ate the int8 MXU gain (PERF_NOTES round 2)."""
+    return jnp.clip(
+        jnp.round(acc.astype(jnp.float32) * e_ref[:] + g_ref[:]), lo, 127
+    ).astype(jnp.int8)
+
+
+def _double_conv_kernel_qs(tr, hp, wp, float_out, xp_hbm, w1_ref, e1_ref,
+                           g1_ref, w2_ref, e2_ref, g2_ref, out_ref, xt2,
+                           y1q_ref, sems):
+    """STATIC-scale int8 DoubleConv: int8 HBM I/O (half the DMA bytes of
+    the bf16/dynamic kernels), int8 MXU dots (2x bf16 peak), and exactly
+    ONE fused VPU pass per conv layer (see _requant). Activation scales
+    are calibrated once per member (nn/packed.py::calibrate_packed_stream)
+    and folded into the e/g vectors in XLA:
+
+      e1 = sw1*bn_s1*s_x/s_y1,  g1 = t1/s_y1      (y1 stays int8)
+      e2 = sw2*bn_s2*s_y1/s_out, g2 = t2/s_out    (out int8), or
+      e2 = sw2*bn_s2*s_y1,       g2 = t2          (float_out: last block)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(step, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(step * tr, tr + 4)], xt2.at[slot], sems.at[slot]
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(i + 1, nxt).start()
+
+    dma(i, slot).wait()
+    wpp = out_ref.shape[1]
+    y1w = y1q_ref.shape[1]
+    acc = _conv_rows(xt2[slot], w1_ref, tr + 2, y1w)  # int8 dots, i32 acc
+    y1q = _requant(acc, e1_ref, g1_ref, 0)
+    mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
+    y1q_ref[:] = jnp.where(mask, y1q, 0)
+    acc2 = _conv_rows(y1q_ref, w2_ref, tr, wpp)
+    if float_out:
+        y2 = jnp.maximum(acc2.astype(jnp.float32) * e2_ref[:] + g2_ref[:], 0.0)
+        out_ref[:] = y2.astype(out_ref.dtype)
+    else:
+        out_ref[:] = _requant(acc2, e2_ref, g2_ref, 0)
+
+
+def _up_block_kernel_qs(tr, hp, wp, float_out, x2p_hbm, x1p_hbm, wt_ref,
+                        et_ref, gt_ref, wa_ref, ea_ref, wb_ref, eb_ref,
+                        g1_ref, w2_ref, e2_ref, g2_ref, out_ref, x2t, x1t,
+                        upq_ref, y1q_ref, sems):
+    """STATIC-scale int8 Up block (see _double_conv_kernel_qs): int8 I/O,
+    one fused requant pass per intermediate. The tconv output can be
+    negative (no relu in the reference Up block, networks.py:317-319), so
+    its requant clips at -127; y1 clips at 0 (relu)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma2(step, slot):
+        return pltpu.make_async_copy(
+            x2p_hbm.at[pl.ds(step * tr, tr + 4)], x2t.at[slot], sems.at[slot]
+        )
+
+    def dma1(step, slot):
+        return pltpu.make_async_copy(
+            x1p_hbm.at[pl.ds(step * tr, tr + 4)], x1t.at[slot], sems.at[2 + slot]
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma2(0, 0).start()
+        dma1(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma2(i + 1, nxt).start()
+        dma1(i + 1, nxt).start()
+
+    dma1(i, slot).wait()
+    wpp = out_ref.shape[1]
+    xw = x1t.shape[2]
+    y1w = y1q_ref.shape[1]
+    up_acc = jax.lax.dot_general(
+        x1t[slot], wt_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    upq = _requant(up_acc, et_ref, gt_ref, -127)
+    mask_up = _edge_mask(i, tr, tr + 4, xw, hp, wp, row_off=-2, col_off=-2)
+    upq_ref[:] = jnp.where(mask_up, upq, 0)
+    dma2(i, slot).wait()
+    acc_a = _conv_rows(x2t[slot], wa_ref, tr + 2, y1w)
+    acc_b = _conv_rows(upq_ref, wb_ref, tr + 2, y1w)
+    y1 = acc_a.astype(jnp.float32) * ea_ref[:] + acc_b.astype(jnp.float32) * eb_ref[:]
+    y1q = jnp.clip(jnp.round(y1 + g1_ref[:]), 0, 127).astype(jnp.int8)
+    mask = _edge_mask(i, tr, tr + 2, y1w, hp, wp, row_off=-1, col_off=-1)
+    y1q_ref[:] = jnp.where(mask, y1q, 0)
+    acc2 = _conv_rows(y1q_ref, w2_ref, tr, wpp)
+    if float_out:
+        y2 = jnp.maximum(acc2.astype(jnp.float32) * e2_ref[:] + g2_ref[:], 0.0)
+        out_ref[:] = y2.astype(out_ref.dtype)
+    else:
+        out_ref[:] = _requant(acc2, e2_ref, g2_ref, 0)
+
+
 def _pad_rows(hp: int, tr: int) -> int:
     return -(-hp // tr) * tr
 
@@ -601,6 +722,211 @@ def fused_up_block(
                 ),
                 interpret=_interpret(),
             )(x2b, x1b, wtc, tt, wa9, wb9, s1, t1, w29, s2, t2)
+
+    outs = [run(x2p[bb], x1p[bb]) for bb in range(b)]
+    return jnp.stack(outs)[:, :hp, :wp, :cout]
+
+
+# ---------------------------------------------------------------------------
+# Static-scale int8 path ("int8s"): int8 block I/O, calibrated activation
+# scales (nn/packed.py::calibrate_packed_stream), one fused requant pass per
+# layer. The dynamic path above keeps per-slab scales and float block I/O.
+# ---------------------------------------------------------------------------
+
+
+def quantize_static(x, s):
+    """XLA-side symmetric int8 quantization with a static scale."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / s)), -127, 127
+    ).astype(jnp.int8)
+
+
+def fused_double_conv_qs(
+    xq: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    bn1: Tree,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    bn2: Tree,
+    s_x,
+    s_y1,
+    s_out=None,
+    dtype=None,
+) -> jnp.ndarray:
+    """Static-scale int8 DoubleConv. xq: (B,Hp,Wp,Cin) int8 at scale s_x.
+
+    Returns int8 at scale s_out, or float (dtype) when s_out is None."""
+    assert xq.dtype == jnp.int8
+    cdt = dtype or jnp.float32
+    b, hp, wp, cin = xq.shape
+    cm, cout = w1.shape[3], w2.shape[3]
+    s1, t1 = _fold_affine(b1, bn1["scale"], bn1["shift"])
+    s2, t2 = _fold_affine(b2, bn2["scale"], bn2["shift"])
+    cinp, cmp_, coutp = _cpad(cin), _cpad(cm), _cpad(cout)
+    w1 = _pad_last(jnp.pad(w1, ((0, 0), (0, 0), (0, cinp - cin), (0, 0))), cmp_)
+    w2 = _pad_last(jnp.pad(w2, ((0, 0), (0, 0), (0, cmp_ - cm), (0, 0))), coutp)
+    s1, t1 = _pad_last(s1, cmp_), _pad_last(t1, cmp_)
+    s2, t2 = _pad_last(s2, coutp), _pad_last(t2, coutp)
+    w1q, sw1 = _quantize_weight(w1.reshape(9, cinp, cmp_).astype(jnp.float32))
+    w2q, sw2 = _quantize_weight(w2.reshape(9, cmp_, coutp).astype(jnp.float32))
+    d1 = (sw1 * s1.ravel()).reshape(1, 1, -1)
+    d2 = (sw2 * s2.ravel()).reshape(1, 1, -1)
+    e1 = d1 * (s_x / s_y1)
+    g1 = t1 / s_y1
+    float_out = s_out is None
+    if float_out:
+        e2 = d2 * s_y1
+        g2 = t2
+    else:
+        e2 = d2 * (s_y1 / s_out)
+        g2 = t2 / s_out
+
+    tr = min(TR, hp)
+    hp_pad = _pad_rows(hp, tr)
+    wpp = _pad_rows(wp, 8)
+    y1w = _pad_rows(wpp + 2, 8)
+    xw = y1w + 16
+    xp = jnp.pad(
+        xq, ((0, 0), (2, 2 + hp_pad - hp), (2, xw - wp - 2), (0, cinp - cin))
+    )
+    out_dt = cdt if float_out else jnp.int8
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    import functools
+
+    kernel = functools.partial(_double_conv_kernel_qs, tr, hp, wp, float_out)
+
+    def run(xpb):
+        return pl.pallas_call(
+            kernel,
+            grid=(hp_pad // tr,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                full, full, full, full, full, full,
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, wpp, coutp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), out_dt),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr + 4, xw, cinp), jnp.int8),
+                pltpu.VMEM((tr + 2, y1w, cmp_), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=_interpret(),
+        )(xpb, w1q, e1, g1, w2q, e2, g2)
+
+    outs = [run(xp[bb]) for bb in range(b)]
+    return jnp.stack(outs)[:, :hp, :wp, :cout]
+
+
+def fused_up_block_qs(
+    x1q: jnp.ndarray,
+    x2q: jnp.ndarray,
+    wt: jnp.ndarray,
+    bt: jnp.ndarray,
+    wa: jnp.ndarray,
+    wb: jnp.ndarray,
+    b1: jnp.ndarray,
+    bn1: Tree,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    bn2: Tree,
+    s_x1,
+    s_x2,
+    s_up,
+    s_y1,
+    s_out=None,
+    dtype=None,
+) -> jnp.ndarray:
+    """Static-scale int8 Up block. x1q at s_x1 (coarse), x2q at s_x2
+    (skip); returns int8 at s_out or float when s_out is None."""
+    assert x1q.dtype == jnp.int8 and x2q.dtype == jnp.int8
+    cdt = dtype or jnp.float32
+    b, hp, wp, cskip = x2q.shape
+    cin1 = x1q.shape[3]
+    cup, cm, cout = wt.shape[1], wa.shape[3], w2.shape[3]
+
+    s1, t1 = _fold_affine(b1, bn1["scale"], bn1["shift"])
+    s2, t2 = _fold_affine(b2, bn2["scale"], bn2["shift"])
+    tt = bt.astype(jnp.float32).reshape(1, 1, -1)
+    cskipp, cin1p = _cpad(cskip), _cpad(cin1)
+    cupp, cmp_, coutp = _cpad(cup), _cpad(cm), _cpad(cout)
+    wt = _pad_last(jnp.pad(wt, ((0, cin1p - cin1), (0, 0))), cupp)
+    tt = _pad_last(tt, cupp)
+    wa = _pad_last(jnp.pad(wa, ((0, 0), (0, 0), (0, cskipp - cskip), (0, 0))), cmp_)
+    wb = _pad_last(jnp.pad(wb, ((0, 0), (0, 0), (0, cupp - cup), (0, 0))), cmp_)
+    w2 = _pad_last(jnp.pad(w2, ((0, 0), (0, 0), (0, cmp_ - cm), (0, 0))), coutp)
+    s1, t1 = _pad_last(s1, cmp_), _pad_last(t1, cmp_)
+    s2, t2 = _pad_last(s2, coutp), _pad_last(t2, coutp)
+
+    wtq, swt = _quantize_weight(wt.astype(jnp.float32)[None])
+    wtq = wtq[0]
+    waq, swa = _quantize_weight(wa.reshape(9, cskipp, cmp_).astype(jnp.float32))
+    wbq, swb = _quantize_weight(wb.reshape(9, cupp, cmp_).astype(jnp.float32))
+    w2q, sw2 = _quantize_weight(w2.reshape(9, cmp_, coutp).astype(jnp.float32))
+    et = (swt.reshape(1, 1, -1)) * (s_x1 / s_up)
+    gt = tt / s_up
+    ea = (swa * s1.ravel()).reshape(1, 1, -1) * (s_x2 / s_y1)
+    eb = (swb * s1.ravel()).reshape(1, 1, -1) * (s_up / s_y1)
+    g1 = t1 / s_y1
+    d2 = (sw2 * s2.ravel()).reshape(1, 1, -1)
+    float_out = s_out is None
+    if float_out:
+        e2 = d2 * s_y1
+        g2 = t2
+    else:
+        e2 = d2 * (s_y1 / s_out)
+        g2 = t2 / s_out
+
+    tr = min(TR, hp)
+    hp_pad = _pad_rows(hp, tr)
+    wpp = _pad_rows(wp, 8)
+    y1w = _pad_rows(wpp + 2, 8)
+    xw = y1w + 16
+    x1p = jnp.pad(
+        x1q, ((0, 0), (2, 2 + hp_pad - hp), (2, xw - wp - 2), (0, cin1p - cin1))
+    )
+    x2p = jnp.pad(
+        x2q, ((0, 0), (2, 2 + hp_pad - hp), (2, xw - wp - 2), (0, cskipp - cskip))
+    )
+    out_dt = cdt if float_out else jnp.int8
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    import functools
+
+    kernel = functools.partial(_up_block_kernel_qs, tr, hp, wp, float_out)
+
+    def run(x2b, x1b):
+        return pl.pallas_call(
+            kernel,
+            grid=(hp_pad // tr,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                full, full, full, full, full, full, full, full, full, full,
+                full,
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, wpp, coutp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((hp_pad, wpp, coutp), out_dt),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr + 4, xw, cskipp), jnp.int8),
+                pltpu.VMEM((2, tr + 4, xw, cin1p), jnp.int8),
+                pltpu.VMEM((tr + 4, xw, cupp), jnp.int8),
+                pltpu.VMEM((tr + 2, y1w, cmp_), jnp.int8),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=_interpret(),
+        )(x2b, x1b, wtq, et, gt, waq, ea, wbq, eb, g1, w2q, e2, g2)
 
     outs = [run(x2p[bb], x1p[bb]) for bb in range(b)]
     return jnp.stack(outs)[:, :hp, :wp, :cout]

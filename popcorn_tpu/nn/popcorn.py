@@ -125,6 +125,16 @@ def quantize_int8(cfg: ModelConfig, train: bool = False) -> bool:
     return not train and getattr(cfg, "quantize", None) == "int8"
 
 
+def quantize_static_int8(cfg: ModelConfig, train: bool = False) -> bool:
+    """Gate for STATIC-scale int8 inference (cfg.quantize == 'int8s'):
+    per-member activation scales calibrated once on the first patch, int8
+    block I/O end-to-end through each UNet stream, one fused requant pass
+    per layer (nn/pallas_conv.py::_double_conv_kernel_qs). Coarser than
+    the dynamic per-slab scales — opt-in, accuracy vs f32 validated in
+    tests/test_pallas_conv.py."""
+    return not train and getattr(cfg, "quantize", None) == "int8s"
+
+
 def create_building_score(
     builder: Tree,
     x_input: jnp.ndarray,
@@ -238,6 +248,30 @@ def use_pallas_packed_head(cfg: ModelConfig, train: bool) -> bool:
     return bool(v)
 
 
+def calibrate_member_scales(
+    params: Tree,
+    consts: Tree,
+    sar_p: jnp.ndarray,
+    opt_p: jnp.ndarray,
+    f: int,
+) -> Tree:
+    """Static-int8 activation scales for one member's two UNet streams,
+    computed from a calibration patch (nn/packed.py::
+    calibrate_packed_stream). Called once per region eval on the first
+    patch batch (infer/sliding.py); the scalars then ride the member scan
+    alongside the stacked params."""
+    from .packed import calibrate_packed_stream
+
+    return {
+        "sar": calibrate_packed_stream(
+            params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f
+        ),
+        "opt": calibrate_packed_stream(
+            params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f
+        ),
+    }
+
+
 def packed_member_maps(
     params: Tree,
     consts: Tree,
@@ -246,6 +280,7 @@ def packed_member_maps(
     f: int,
     score_packed: jnp.ndarray,
     cfg: ModelConfig,
+    scales: Optional[Tree] = None,
 ):
     """One ensemble member's (popdensemap, scale) — ENTIRELY in packed
     space (the member-dependent tail of popcorn_forward, eval semantics:
@@ -257,19 +292,29 @@ def packed_member_maps(
     Returns flat-packed (dense_p, scale_p) float32 — the caller accumulates
     in this layout and unpacks ONCE after the ensemble fold (per-member
     unpack relayouts cost ~5 ms each at 2048^2, measured round 2)."""
-    from .packed import packed_head_apply, packed_unet_stream
+    from .packed import packed_head_apply, packed_unet_stream, packed_unet_stream_qs
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     pk = use_pallas_stream(cfg)
     q = quantize_int8(cfg)
-    sar_f = packed_unet_stream(
-        params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype,
-        use_pallas=pk, quantized=q,
-    )
-    opt_f = packed_unet_stream(
-        params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype,
-        use_pallas=pk, quantized=q,
-    )
+    if quantize_static_int8(cfg) and scales is not None and f == 4:
+        sar_f = packed_unet_stream_qs(
+            params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f,
+            scales["sar"], dtype=dtype,
+        )
+        opt_f = packed_unet_stream_qs(
+            params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f,
+            scales["opt"], dtype=dtype,
+        )
+    else:
+        sar_f = packed_unet_stream(
+            params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f, dtype=dtype,
+            use_pallas=pk, quantized=q,
+        )
+        opt_f = packed_unet_stream(
+            params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f, dtype=dtype,
+            use_pallas=pk, quantized=q,
+        )
     feats_p = jnp.concatenate([sar_f, opt_f], axis=-1)
     b, hp, wp = feats_p.shape[0], feats_p.shape[1], feats_p.shape[2]
     if use_pallas_packed_head(cfg, train=False):

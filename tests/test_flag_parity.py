@@ -238,3 +238,50 @@ def test_cli_flags_roundtrip():
     assert not m.sentinel_buildings
     t = train_config_from_args(a)
     assert t.skip_first and t.max_samples == 7 and t.save_model == "best"
+
+
+def test_eval_config_validates_patch_geometry():
+    """ADVICE round 2: patchsize <= 2*overlap degenerates the halo mask;
+    an odd patchsize silently drops the packed engine — validate/warn."""
+    import warnings
+
+    import pytest as _pytest
+
+    from popcorn_tpu.config import EvalConfig
+
+    with _pytest.raises(ValueError, match="patchsize"):
+        EvalConfig(patchsize=256, overlap=128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        EvalConfig(patchsize=2046, overlap=128)
+    assert any("packed" in str(x.message) for x in w)
+    EvalConfig(patchsize=2048, overlap=128)  # canonical: no complaint
+
+
+def test_quantize_conflicts_with_pallas_stream_off():
+    """ADVICE round 2: quantize='int8' runs through the fused Pallas
+    kernels; an explicit pallas_stream=False must raise, not be ignored."""
+    import pytest as _pytest
+
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.popcorn import use_pallas_stream
+
+    with _pytest.raises(ValueError, match="pallas_stream"):
+        use_pallas_stream(ModelConfig(quantize="int8", pallas_stream=False))
+    assert use_pallas_stream(ModelConfig(quantize="int8"))
+    assert not use_pallas_stream(ModelConfig(quantize="int8"), train=True)
+
+
+def test_quantize_is_eval_only_cli():
+    """ADVICE round 2: --quantize must not exist on the train CLI (it
+    would silently run mid-training validation through int8)."""
+    import pytest as _pytest
+
+    from popcorn_tpu.cli.args import eval_parser, train_parser
+
+    ev = eval_parser().parse_args(
+        ["-r", "x", "--quantize", "int8"]
+    )
+    assert ev.quantize == "int8"
+    with _pytest.raises(SystemExit):
+        train_parser().parse_args(["--quantize", "int8"])

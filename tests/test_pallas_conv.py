@@ -157,3 +157,60 @@ def test_int8_popcorn_forward_close(rngk):
     pc_ref = float(ref["popcount"][0])
     pc_got = float(got["popcount"][0])
     assert abs(pc_got - pc_ref) <= 0.03 * max(abs(pc_ref), 1.0), (pc_ref, pc_got)
+
+
+def test_int8_static_stream_close_to_f32(rngk):
+    """STATIC-scale int8 stream (int8 block I/O end-to-end, calibrated
+    scales, one fused requant pass per layer) stays within quantization
+    error of the f32 XLA stream when calibrated on the same input."""
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.init import init_popcorn
+
+    mcfg = ModelConfig(pretrained=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(5), mcfg)
+    f = 4
+    x = _mk(rngk, (1, 16, 24, f * f * 2), 1.0)
+    p, bn = params["unet"]["sar"], consts["unet_bn"]["sar"]
+    ref = K.packed_unet_stream(p, bn, x, f, dtype=None)
+    scales = K.calibrate_packed_stream(p, bn, x, f)
+    assert set(scales) == {
+        "in", "inc_y1", "inc_out", "down1_y1", "down1_out", "down2_y1",
+        "down2_out", "up2_up", "up2_y1", "up2_out", "up1_up", "up1_y1",
+    }
+    got = K.packed_unet_stream_qs(p, bn, x, f, scales, dtype=None)
+    a, b = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    scale = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) < 0.08 * scale
+    assert np.corrcoef(a, b)[0, 1] > 0.995
+
+
+def test_int8_static_member_maps_close(rngk):
+    """packed_member_maps with calibrated static scales == the f32 member
+    maps up to int8 error (the eval-fold integration of 'int8s')."""
+    import dataclasses
+
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.nn.popcorn import (
+        calibrate_member_scales,
+        packed_member_maps,
+    )
+
+    mcfg = ModelConfig(pretrained=False, occupancy_model=True)
+    params, consts = init_popcorn(jax.random.PRNGKey(6), mcfg)
+    f = 4
+    sar_p = _mk(rngk, (1, 16, 24, f * f * 2), 1.0)
+    opt_p = _mk(rngk, (1, 16, 24, f * f * 4), 1.0)
+    score_p = jnp.abs(_mk(rngk, (1, 16, 24 * f * f), 0.5))
+    dense_ref, scale_ref = packed_member_maps(
+        params, consts, sar_p, opt_p, f, score_p, mcfg
+    )
+    scales = calibrate_member_scales(params, consts, sar_p, opt_p, f)
+    mcfg_qs = dataclasses.replace(mcfg, quantize="int8s")
+    dense_q, scale_q = packed_member_maps(
+        params, consts, sar_p, opt_p, f, score_p, mcfg_qs, scales=scales
+    )
+    a, b = np.asarray(dense_ref).ravel(), np.asarray(dense_q).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    s = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) < 0.1 * max(s, 1e-6)
