@@ -311,6 +311,29 @@ def main():
         f"{330 * 4 / pps / 60:.2f} min single-chip"
     )
 
+    # ---- opt-in static-int8 ensemble (--quantize int8s) ---------------------
+    import dataclasses
+
+    qs_pps = None
+    try:
+        mcfg_qs = dataclasses.replace(mcfg, quantize="int8s")
+        fwd_qs = make_patch_forward(
+            mcfg_qs, consts, stats, n_members, packed_output=True
+        )
+        res = fwd_qs(stacked, dev_batch)
+        jax.block_until_ready(res)
+        for _ in range(2):
+            res = fwd_qs(stacked, dev_batch)
+        jax.block_until_ready(res)
+        t0 = time.time()
+        for _ in range(iters):
+            res = fwd_qs(stacked, dev_batch)
+        jax.block_until_ready(res)
+        qs_pps = iters * batch / (time.time() - t0)
+        log(f"int8s (static-quantized) ensemble: {qs_pps:.3f} patches/s")
+    except Exception as e:
+        log(f"int8s bench failed: {type(e).__name__}: {e}")
+
     # ---- train-step benchmark (fwd+bwd at a training bucket shape) ----------
     from popcorn_tpu.config import TrainConfig
     from popcorn_tpu.train.state import make_optimizer, make_train_step
@@ -324,7 +347,8 @@ def main():
         np.arange(1, tb + 1, dtype=np.float32)[:, None, None], (1, th, tw)
     )
     train_batch = jax.device_put({
-        "S2": np.asarray(rng.uniform(0, 4000, (tb, th, tw, 4)), np.float32),
+        # uint16 S2, matching what WeaksupFeed ships (data/feed.py)
+        "S2": rng.uniform(0, 4000, (tb, th, tw, 4)).astype(np.uint16),
         "S1": np.asarray(rng.uniform(-25, 0, (tb, th, tw, 2)), np.float32),
         "admin_mask": ids,
         "census_idx": np.arange(1, tb + 1, dtype=np.float32),
@@ -367,6 +391,9 @@ def main():
         # dryrun_multichip 2-D section) — tested-correct, not tested-fast.
         "ensemble_parallel": "requires n>=2 chips; dryrun-verified only",
     }
+    if qs_pps:
+        # opt-in --quantize int8s (corr 0.9997 vs bf16; PERF_NOTES round 3)
+        result["int8s_patches_per_sec"] = round(qs_pps, 4)
 
     if os.environ.get("POPCORN_BENCH_FULL", "1") != "0":
         # measured country-scale end-to-end pipeline (VERDICT r2 #4)

@@ -157,7 +157,16 @@ class WeaksupFeed:
         batch: Dict = {}
         for key in ("S2", "S1", "VIIRS"):
             if key in items[0]:
-                batch[key] = np.stack([it[key] for it in items]).astype(np.float32)
+                arr = np.stack([it[key] for it in items]).astype(np.float32)
+                if key == "S2":
+                    # uint16 over the wire when lossless (see InferenceFeed;
+                    # geometric augs are index permutations, so they commute
+                    # with the integer representation; the photometric aug
+                    # runs on device after the f32 upcast)
+                    u16 = arr.astype(np.uint16)
+                    if np.array_equal(u16, arr):
+                        arr = u16
+                batch[key] = arr
         for key in ("building_counts", "building_segmentation"):
             if key in items[0]:
                 batch[key] = np.stack([it[key] for it in items]).astype(np.float32)

@@ -44,6 +44,10 @@ Tree = Dict[str, Any]
 # accumulators are the largest live values; 16 rows OOMs the 16 MB VMEM at
 # Wp=512 x 128 lanes)
 TR = 8
+# the static-int8 kernels' slabs/intermediates are int8 (quarter the
+# bytes), so twice the rows fit: fewer grid steps (fewer pipeline
+# bubbles) and taller MXU dots per tap
+TR_QS = 16
 
 
 def _interpret() -> bool:
@@ -782,7 +786,7 @@ def fused_double_conv_qs(
         e2 = d2 * (s_y1 / s_out)
         g2 = t2 / s_out
 
-    tr = min(TR, hp)
+    tr = min(TR_QS, hp)
     hp_pad = _pad_rows(hp, tr)
     wpp = _pad_rows(wp, 8)
     y1w = _pad_rows(wpp + 2, 8)
@@ -883,7 +887,7 @@ def fused_up_block_qs(
         e2 = d2 * (s_y1 / s_out)
         g2 = t2 / s_out
 
-    tr = min(TR, hp)
+    tr = min(TR_QS, hp)
     hp_pad = _pad_rows(hp, tr)
     wpp = _pad_rows(wp, 8)
     y1w = _pad_rows(wpp + 2, 8)

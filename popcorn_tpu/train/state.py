@@ -107,7 +107,11 @@ def make_train_step(
     def loss_fn(params, batch, key, encoder_no_grad, unet_no_grad):
         sample = {}
         if mcfg.s2 and "S2" in batch:
-            sample["S2"] = photometric_s2_traced(batch["S2"], batch["photometric"])
+            # S2 may arrive uint16 (half the transfer bytes, data/feed.py);
+            # upcast before the photometric aug, fused by XLA
+            sample["S2"] = photometric_s2_traced(
+                batch["S2"].astype(jnp.float32), batch["photometric"]
+            )
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
         if mcfg.viirs and "VIIRS" in batch:
@@ -180,7 +184,7 @@ def make_eval_popcount(mcfg: ModelConfig, consts: Tree, stats: NormStats):
     def fn(params, batch):
         sample = {}
         if mcfg.s2 and "S2" in batch:
-            sample["S2"] = batch["S2"]
+            sample["S2"] = batch["S2"].astype(jnp.float32)
         if mcfg.s1 and "S1" in batch:
             sample["S1"] = batch["S1"]
         if mcfg.viirs and "VIIRS" in batch:
