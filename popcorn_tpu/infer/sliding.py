@@ -105,13 +105,17 @@ def make_patch_forward(
             sample["VIIRS"] = batch["VIIRS"]
         x = normalize_and_assemble(sample, stats)
         if mcfg.sentinel_buildings or not mcfg.occupancy_model:
-            from ..nn.popcorn import quantize_int8, use_pallas_stream
+            from ..nn.popcorn import builder_use_pallas, quantize_int8
 
+            # the builder sits outside the member scan: plain XLA bf16 is
+            # its fastest path even in the quantize modes (see
+            # nn.popcorn.builder_use_pallas)
+            bp = builder_use_pallas(mcfg)
             score = create_building_score(
                 consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
                 dtype=dtype,
-                use_pallas=use_pallas_stream(mcfg),
-                quantized=quantize_int8(mcfg),
+                use_pallas=bp,
+                quantized=quantize_int8(mcfg) and bp,
             )
         else:
             score = batch["building_counts"]

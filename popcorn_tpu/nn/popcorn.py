@@ -125,6 +125,22 @@ def quantize_int8(cfg: ModelConfig, train: bool = False) -> bool:
     return not train and getattr(cfg, "quantize", None) == "int8"
 
 
+def builder_use_pallas(cfg: ModelConfig, train: bool = False) -> bool:
+    """Pallas gate for the BUILDING EXTRACTOR specifically.
+
+    The builder runs outside the member scan (computed once per patch in
+    its own jit, infer/sliding.py::prep), and standalone — without a scan
+    context forcing relayouts around XLA's lifted convs — plain XLA bf16
+    is the fastest measured path on v5e (8.40 ms/stream vs 9.84 pallas
+    bf16, 10.35 pallas dynamic int8, 9.00 pallas static int8;
+    PERF_NOTES.md round 3). The quantize modes therefore do NOT imply
+    pallas for the builder; only the explicit pallas_stream=True flag
+    (experimentation) does."""
+    if train:
+        return False
+    return getattr(cfg, "pallas_stream", None) is True
+
+
 def quantize_static_int8(cfg: ModelConfig, train: bool = False) -> bool:
     """Gate for STATIC-scale int8 inference (cfg.quantize == 'int8s'):
     per-member activation scales calibrated once on the first patch, int8
@@ -371,11 +387,12 @@ def popcorn_forward(
     # Building score: computed on the fly when absent or sentinel_buildings
     # (model/popcorn.py:112-115).
     if "building_counts" not in inputs or cfg.sentinel_buildings:
+        bp = builder_use_pallas(cfg, train)
         building_counts = create_building_score(
             consts["builder"], x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir,
             dtype=dtype, layout=layout,
-            use_pallas=use_pallas_stream(cfg, train),
-            quantized=quantize_int8(cfg, train),
+            use_pallas=bp,
+            quantized=quantize_int8(cfg, train) and bp,
         )
     else:
         building_counts = inputs["building_counts"]
