@@ -130,6 +130,80 @@ def adjust_map_to_census(
     return out
 
 
+class DeviceCensus:
+    """Census aggregation against a DEVICE-resident prediction map.
+
+    The host path (region_sums above) re-uploads the country map chunk by
+    chunk and runs several full-raster numpy passes; when the map already
+    lives in HBM (run_sliding_inference(..., return_device=True)), that is
+    wasted link traffic and single-core host time. This class uploads the
+    compact per-pixel region index ONCE (uint16 when it fits — a country
+    rarely has >65k census regions) and then every aggregation is one
+    device segment-sum and every dasymmetric adjustment one gather+multiply
+    (reference semantics: PopulationDataset.py:675-729, 823-852).
+
+    Accumulation differs from the host path only in summation order/width
+    (device f32 segment-sum vs host chunked float64) — immaterial for the
+    census metrics, and the ADJ map agrees to f32 roundoff.
+    """
+
+    def __init__(self, boundary: np.ndarray, census: pd.DataFrame):
+        import jax
+        import jax.numpy as jnp
+
+        idx = census["idx"].to_numpy()
+        comp, k, order = compact_ids(boundary, idx)
+        self.k = k
+        self.order = order
+        self.valid = ~census["bbox"].isna().to_numpy()
+        self.pop = census["POP20"].to_numpy(np.float64)
+        dt = np.uint16 if k + 1 < 65536 else np.int32
+        self._comp_dev = jax.device_put(comp.astype(dt))
+        self._seg = _segment_sum_fn(k + 1)
+
+        @jax.jit
+        def _adjust(pred, comp_d, scale_sorted):
+            return pred * scale_sorted[comp_d.astype(jnp.int32)]
+
+        self._adjust = _adjust
+
+    def sums(self, pred) -> np.ndarray:
+        """Per-region sums of a device map, in census row order."""
+        import jax.numpy as jnp
+
+        total = np.asarray(
+            self._seg(
+                jnp.reshape(pred, (-1,)),
+                jnp.reshape(self._comp_dev, (-1,)).astype(jnp.int32),
+            ),
+            np.float64,
+        )
+        out = np.empty(self.k, np.float64)
+        out[self.order] = total[: self.k]
+        return out.astype(np.float32)
+
+    def convert(self, pred) -> Tuple[np.ndarray, np.ndarray]:
+        """Device counterpart of convert_popmap_to_census."""
+        sums = self.sums(pred)
+        return (
+            sums[self.valid].astype(np.float32),
+            self.pop.astype(np.float32)[self.valid],
+        )
+
+    def adjust(self, pred):
+        """Device counterpart of adjust_map_to_census; returns a DEVICE map."""
+        import jax
+
+        sums = self.sums(pred)
+        scale = np.ones(self.k + 1, np.float32)
+        nz = (sums > 0) & self.valid
+        scale[: self.k][nz] = (self.pop[nz] / sums[nz]).astype(np.float32)
+        # scale is in census-row order; comp indexes sorted-id order
+        scale_sorted = np.ones(self.k + 1, np.float32)
+        scale_sorted[: self.k] = scale[: self.k][self.order]
+        return self._adjust(pred, self._comp_dev, jax.device_put(scale_sorted))
+
+
 def detail_maps(
     pred: np.ndarray,
     boundary: np.ndarray,

@@ -117,6 +117,13 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--full", action="store_true", help="write detail maps")
     p.add_argument("--in_memory", action="store_true",
                    help="preload mosaics into RAM (reference arguments/eval.py:26)")
+    p.add_argument("--device_feed", choices=("auto", "on", "off"), default="auto",
+                   help="device-resident mosaic feed: upload each season's "
+                        "mosaics to HBM once and run the sliding window as "
+                        "on-device crops (no per-patch host->device "
+                        "transfers). auto = when single-process, "
+                        "device-stitched and NaN-free (NaN seasons fall "
+                        "back to the healing host feed per patch)")
     p.add_argument("--patchsize", type=int, default=2048,
                    help="sliding-window patch size (reference constant "
                         "inference_patch_size=2048, utils/constants.py:12; "
@@ -213,6 +220,7 @@ def eval_config_from_args(a) -> EvalConfig:
         num_workers=a.num_workers,
         patch_batch=a.patch_batch,
         in_memory=getattr(a, "in_memory", False),
+        device_feed=getattr(a, "device_feed", "auto"),
         patchsize=getattr(a, "patchsize", 2048),
         overlap=getattr(a, "patch_overlap", 128),
     )

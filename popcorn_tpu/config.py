@@ -373,6 +373,7 @@ class EvalConfig:
     num_workers: int = 8
     patch_batch: int = 1  # patches per device step during sliding-window eval
     in_memory: bool = False  # preload mosaics into host RAM
+    device_feed: str = "auto"  # HBM-resident mosaic feed (infer/device_feed)
     patchsize: int = 2048  # reference inference_patch_size (constants.py:12)
     overlap: int = 128  # reference overlap (constants.py:13)
 

@@ -289,20 +289,24 @@ class InferenceFeed:
         batch_size: int = 1,
         prefetch: int = 2,
         num_workers: int = 1,
+        indices=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # optional subset of patch indices to serve (used by the
+        # device-resident mosaic feed's partial fallback, infer/device_feed)
+        self.indices = list(range(len(dataset))) if indices is None else list(indices)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.indices)
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self) -> Iterator[Dict]:
-        n = len(self.dataset)
+        n = len(self.indices)
         fetched = _ordered_map(
-            self.dataset.get_test_item, range(n), self.num_workers,
+            self.dataset.get_test_item, self.indices, self.num_workers,
             window=self.num_workers + max(2, self.prefetch) * self.batch_size,
         )
         for s in range(0, n, self.batch_size):

@@ -1,0 +1,123 @@
+"""Device-resident mosaic feed for country-scale sliding-window eval.
+
+The reference's eval loop ships every 2048^2 patch from host to GPU
+(run_eval.py:71-135 via a DataLoader over Population_Dataset's windowed
+raster reads). On TPU that per-patch host->device transfer is the
+pipeline bottleneck long before the MXU is: a 5-member ensemble fold
+needs ~150 ms of device time per patch but ~48-64 MB of fresh input
+bytes, so any link slower than ~400 MB/s starves the chip — and the
+patches overlap, so ~30% of those bytes are re-sent neighbours.
+
+TPU-first alternative: country-season mosaics are small relative to HBM
+(a 9216^2 four-band uint16 season is ~680 MB; full Rwanda fits with room
+to spare), so upload each season's mosaics to HBM ONCE and run the
+sliding window as on-device ``lax.dynamic_slice`` crops feeding the very
+same jitted prep/members executables as the host-patch path. Per patch,
+zero host bytes move; the host only assembles and uploads each season
+once (and that upload overlaps the previous season's device compute).
+
+Bit-exactness: crops are pure slices of the same mosaic values the host
+path reads, the validity mask is the same cached constant, and the crop
+output dtypes match the host feed's transport dtypes (uint16 S2 when the
+float roundtrip is lossless, data/feed.py), so downstream executables are
+the identical compiled programs. Eligibility (see ``season_arrays``):
+NaN-free mosaics only — patches with NaNs take the reference's healing
+path (interpolate/asc-refetch, PopulationDataset.py:418-441), which is a
+host-side data repair, so such regions fall back to the host feed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..data.dataset import PopulationDataset
+
+
+def _read_raw_u16(src, bands, window) -> Optional[np.ndarray]:
+    """Raw uint16 window read from a _RasterSource when the underlying file
+    is a native-read uint16 GeoTIFF (io/native/geotiff.cpp
+    gt_read_window_raw); None when unsupported (in-memory cache, mosaic
+    fallback, other dtypes) — caller uses the float path."""
+    from ..io.geotiff import GeoTIFF
+
+    g = getattr(src, "_g", None)
+    if (
+        getattr(src, "_mem", None) is None
+        and isinstance(g, GeoTIFF)
+        and g.dtype == np.uint16
+    ):
+        return g.read(bands, window=window, raw=True)
+    return None
+
+
+def season_arrays(
+    dataset: PopulationDataset, season_idx: int
+) -> Optional[Dict[str, np.ndarray]]:
+    """Full-season modality mosaics as CHW numpy in transport dtype.
+
+    Returns None when the season's data needs per-patch healing (any NaN
+    in S2/S1) — the caller falls back to the host-patch feed, which
+    reproduces the reference's heal semantics exactly.
+
+    S2 rides uint16 when the f32 roundtrip is lossless (the mosaics are
+    stored uint16, reference README.md:245) — half the upload bytes.
+    """
+    h, w = dataset.shape()
+    window = ((0, h), (0, w))
+    out: Dict[str, np.ndarray] = {}
+    if dataset.s2:
+        bands = (3, 2, 1, 4) if dataset.nir else (3, 2, 1)
+        src = dataset._source("S2", season_idx, False)
+        arr = _read_raw_u16(src, bands, window)
+        if arr is not None:
+            # native uint16 mosaic read raw: no float detour, no NaN
+            # possible, and already in the transport dtype
+            out["S2"] = arr
+        else:
+            arr = src.read(bands, window)
+            if np.isnan(arr).any():
+                return None
+            u16 = arr.astype(np.uint16)
+            out["S2"] = u16 if np.array_equal(u16, arr) else arr
+    if dataset.s1:
+        arr = dataset._source("S1", season_idx, asc=False).read((1, 2), window)
+        if np.isnan(arr).any():
+            return None
+        out["S1"] = np.ascontiguousarray(arr, np.float32)
+    if dataset.viirs:
+        # VIIRS is not healed by the reference's test path either
+        # (PopulationDataset.py:461-523) — ship raw for bit-parity
+        arr = dataset._source("viirs", 0, False).read((1,), window)
+        out["VIIRS"] = np.ascontiguousarray(arr, np.float32)
+    if dataset._gb_counts is not None:
+        arr = dataset._gb_counts.read(1, window=window)
+        out["building_counts"] = np.ascontiguousarray(arr, np.float32)
+    return out
+
+
+def make_device_crop(patch: int, channels_last_keys=("S2", "S1", "VIIRS")):
+    """Jitted (mosaics, xy) -> batch-of-1 patch dict, entirely on device.
+
+    Mosaics are CHW (contiguous upload); crops are transposed to the
+    NHWC layout the patch-forward executables expect. `building_counts`
+    stays (1, H, W) to match the host feed's shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def crop(mosaics, xy):
+        x, y = xy[0], xy[1]
+        batch = {}
+        for k, a in mosaics.items():
+            c = a.shape[0]
+            sl = jax.lax.dynamic_slice(a, (0, x, y), (c, patch, patch))
+            if k in channels_last_keys:
+                batch[k] = jnp.transpose(sl, (1, 2, 0))[None]
+            else:  # building_counts: (1, H, W) like the host feed
+                batch[k] = sl[:1]
+        return batch
+
+    return crop

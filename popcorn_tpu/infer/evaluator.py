@@ -10,12 +10,19 @@ dasymmetric adjustment and re-evaluates (ADJ maps).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Dict
 
+import numpy as np
 import pandas as pd
 
-from ..agg.census_agg import adjust_map_to_census, convert_popmap_to_census, detail_maps
+from ..agg.census_agg import (
+    DeviceCensus,
+    adjust_map_to_census,
+    convert_popmap_to_census,
+    detail_maps,
+)
 from ..compat.torch_convert import load_popcorn_checkpoint
 from ..config import (
     NEED_ASCENDING_FILL,
@@ -41,6 +48,40 @@ def load_member(path: str):
         params, consts = load_popcorn_checkpoint(path)
         return params, consts
     return restore_params(path), None
+
+
+class _MapWriter:
+    """One background writer: fetches a (possibly device-resident) map and
+    writes its GeoTIFF while the caller proceeds with census aggregation —
+    the device->host transfer of one country map overlaps the disk write
+    of the previous one and the device segment-sums of the metrics."""
+
+    def __init__(self, dataset):
+        self._ds = dataset
+        self._items: list = []
+        self._thread: threading.Thread = None
+
+    def put(self, arr, folder: str, tag: str = ""):
+        self._items.append((arr, folder, tag))
+        if self._thread is None or not self._thread.is_alive():
+            self._drain()
+
+    def _drain(self):
+        items, self._items = self._items, []
+
+        def work():
+            for arr, folder, tag in items:
+                self._ds.save(np.asarray(arr), folder, tag=tag)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def join(self):
+        while self._items or (self._thread is not None and self._thread.is_alive()):
+            if self._thread is not None:
+                self._thread.join()
+            if self._items:
+                self._drain()
 
 
 class Evaluator:
@@ -99,37 +140,64 @@ class Evaluator:
         self.stats = NormStats()
 
     def test_target(self, save: bool = True, full: bool = False) -> Dict[str, float]:
+        import jax
+
         out: Dict[str, float] = {}
         for ds in self.datasets:
+            # single-process runs keep the finalized maps ON DEVICE: census
+            # aggregation / dasymmetric adjustment are device segment-sums
+            # and gathers (agg/census_agg.py::DeviceCensus), and the host
+            # only ever receives the maps it writes to GeoTIFF
             maps = run_sliding_inference(
                 self.members, self.consts, self.mcfg, ds,
                 stats=self.stats, batch_size=self.ecfg.patch_batch,
                 mesh=self.mesh, progress=True,
                 num_workers=self.ecfg.num_workers,
+                device_feed=getattr(self.ecfg, "device_feed", "auto"),
+                return_device=self.mesh is None,
             )
+            is_dev = isinstance(maps["map"], jax.Array)
+            writer = _MapWriter(ds) if save else None
             if save:
-                ds.save(maps["map"], self.experiment_folder)
-                ds.save(maps["map_std"], self.experiment_folder, tag="STD")
+                writer.put(maps["map"], self.experiment_folder)
+                writer.put(maps["map_std"], self.experiment_folder, tag="STD")
                 if self.mcfg.occupancy_model:
-                    ds.save(
+                    writer.put(
                         maps["scale"], self.experiment_folder,
                         tag=f"SCALE_{ds.region}",
                     )
-                    ds.save(maps["scale_std"], self.experiment_folder, tag="SCALE_STD")
+                    writer.put(maps["scale_std"], self.experiment_folder, tag="SCALE_STD")
 
-            boundaries = {}
-            for level in TESTLEVELS_EVAL.get(ds.region, ["coarse"]):
-                with GeoTIFF(ds.boundary_paths[level]) as g:
-                    boundaries[level] = g.read(1, squeeze=True)
-                census = pd.read_csv(ds.census_paths[level])
-                pred_c, gt_c = convert_popmap_to_census(
-                    maps["map"], boundaries[level], census
+            boundaries: Dict[str, object] = {}
+            dcs: Dict[str, DeviceCensus] = {}
+            censuses: Dict[str, pd.DataFrame] = {}
+
+            def _level_census(level):
+                if level not in boundaries:
+                    with GeoTIFF(ds.boundary_paths[level]) as g:
+                        boundaries[level] = g.read(1, squeeze=True)
+                    censuses[level] = pd.read_csv(ds.census_paths[level])
+                    if is_dev:
+                        dcs[level] = DeviceCensus(boundaries[level], censuses[level])
+                return censuses[level]
+
+            def _convert(pred, level):
+                if is_dev and isinstance(pred, jax.Array):
+                    return dcs[level].convert(pred)
+                return convert_popmap_to_census(
+                    np.asarray(pred), boundaries[level], censuses[level]
                 )
+
+            for level in TESTLEVELS_EVAL.get(ds.region, ["coarse"]):
+                census = _level_census(level)
+                pred_c, gt_c = _convert(maps["map"], level)
                 out.update(
                     get_test_metrics(pred_c, gt_c, tag=f"MainCensus_{ds.region}_{level}")
                 )
                 if full:
-                    det = detail_maps(maps["map"], boundaries[level], census)
+                    det = detail_maps(
+                        np.asarray(maps["map"]), boundaries[level], census
+                    )
                     ddir = os.path.join(
                         self.experiment_folder, f"{ds.region}_{level}"
                     )
@@ -138,17 +206,22 @@ class Evaluator:
 
             # dasymmetric adjustment at the train level (run_eval.py:181-200)
             lvl = ds.train_level
-            with GeoTIFF(ds.boundary_paths[lvl]) as g:
-                train_boundary = g.read(1, squeeze=True)
-            census_train = pd.read_csv(ds.census_paths[lvl])
-            adj = adjust_map_to_census(maps["map"], train_boundary, census_train)
+            census_train = _level_census(lvl)
+            if is_dev:
+                adj = dcs[lvl].adjust(maps["map"])
+            else:
+                adj = adjust_map_to_census(
+                    maps["map"], boundaries[lvl], census_train
+                )
             if save:
-                ds.save(adj, self.experiment_folder, tag=f"ADJ_{ds.region}")
+                writer.put(adj, self.experiment_folder, tag=f"ADJ_{ds.region}")
             for level in TESTLEVELS_EVAL.get(ds.region, ["coarse"]):
-                census = pd.read_csv(ds.census_paths[level])
-                pred_c, gt_c = convert_popmap_to_census(adj, boundaries[level], census)
+                _level_census(level)
+                pred_c, gt_c = _convert(adj, level)
                 out.update(
                     get_test_metrics(pred_c, gt_c, tag=f"AdjCensus_{ds.region}_{level}")
                 )
+            if writer is not None:
+                writer.join()
         self.logger.log({f"{k}/targettest": v for k, v in out.items()}, 0)
         return out

@@ -549,6 +549,207 @@ def _make_packed_stitch_adds(f: int):
     return add_aligned, add_misaligned
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _device_finalize_fn(f: int, h: int, w: int, acc_shape: Tuple[int, ...]):
+    """Fused on-device finalize: unpack (when the accumulators live in the
+    flat packed layout) + the reference's visit-count mean / sum-of-squares
+    std math (run_eval.py:137-154, mirroring StitchAccumulators.finalize
+    bit-for-bit including the count>1 divide-mask quirk). Keyed by layout so
+    repeated regions of the same geometry reuse one executable."""
+    from ..nn.packed import unpack_scalar
+
+    @jax.jit
+    def fin(accs):
+        if f > 1:
+            hcp, wcpf = acc_shape
+            ff = f * f
+
+            def unp(a):
+                return unpack_scalar(a[None].reshape(1, hcp, wcpf // ff, ff), f)[
+                    0, :h, :w
+                ]
+
+            a = {k: unp(v) for k, v in accs.items()}
+            cnt_i = jnp.rint(a["count"]).astype(jnp.int32)
+        else:
+            a = accs
+            cnt_i = a["count"].astype(jnp.int32)
+        cnt = cnt_i.astype(jnp.float32)
+        div = cnt_i > 1
+        safe = jnp.where(div, cnt, 1.0)
+        mean = jnp.where(div, a["dense_sum"] / safe, a["dense_sum"])
+        var = jnp.where(
+            div,
+            (a["dense_sq"] - mean**2 * cnt) / jnp.maximum(cnt - 1.0, 1.0),
+            0.0,
+        )
+        smean = jnp.where(div, a["scale_sum"] / safe, a["scale_sum"])
+        svar = jnp.where(
+            div,
+            (a["scale_sq"] - smean**2 * cnt) / jnp.maximum(cnt - 1.0, 1.0),
+            0.0,
+        )
+        return {
+            "map": mean,
+            "map_std": jnp.sqrt(jnp.maximum(var, 0.0)),
+            "scale": smean,
+            "scale_std": jnp.sqrt(jnp.maximum(svar, 0.0)),
+            "count": cnt_i,
+        }
+
+    return fin
+
+
+def _run_device_feed_pass(
+    dataset,
+    fwd,
+    stacked,
+    dev_accs,
+    *,
+    f_eval: int,
+    packed_stitch: bool,
+    add_aligned,
+    add_misaligned,
+    stitch_add,
+    batch_size: int,
+    timings,
+    progress: bool,
+):
+    """Run the sliding window from HBM-resident season mosaics.
+
+    Returns (remaining_patch_indices, dev_accs): an empty list when every
+    patch was visited on device; otherwise the indices (into
+    dataset.patch_indices) that still need the host feed — seasons whose
+    mosaics contain NaNs take the reference's per-patch healing path
+    (PopulationDataset.py:418-441), which is host-side data repair.
+    """
+    import threading as _threading
+    import time as _time
+
+    from ..data.dataset import validity_mask
+    from .device_feed import make_device_crop, season_arrays
+
+    p = dataset.patchsize
+    coords = np.asarray(dataset.patch_indices)
+    order: list = []
+    for s in coords[:, 2]:
+        if int(s) not in order:
+            order.append(int(s))
+    by_season = {s: np.nonzero(coords[:, 2] == s)[0] for s in order}
+    crop = make_device_crop(p)
+    mask_dev = jax.device_put(validity_mask(p, p, dataset.overlap)[None])
+    valid_dev = jnp.ones((1,), bool)
+    s_add1 = None
+    if not packed_stitch:
+        s_add1 = stitch_add if batch_size == 1 else _make_stitch_add(1)
+
+    holder: Dict = {}
+
+    def _assemble(s):
+        t0 = _time.perf_counter()
+        holder[s] = season_arrays(dataset, s)
+        holder[f"t{s}"] = _time.perf_counter() - t0
+
+    bar = None
+    if progress:
+        from tqdm import tqdm
+
+        bar = tqdm(total=len(coords), leave=False, desc="device-feed")
+
+    # Overlapping next-season assembly with this season's device compute
+    # only pays when a spare core exists: on a 1-core host the assembly
+    # thread's numpy passes starve the dispatch thread (measured 2x
+    # slowdown on BOTH sides), so run serially there.
+    import os as _os
+
+    overlap = (_os.cpu_count() or 1) > 2
+
+    _assemble(order[0])
+    accs = dev_accs
+    remaining: list = []
+    first_visit = True
+    try:
+        for si, s in enumerate(order):
+            if s not in holder:
+                # serial path: the device is still crunching the previous
+                # season's crops while this assembly runs on the host
+                _assemble(s)
+            mos_host = holder.pop(s)
+            t_asm = holder.pop(f"t{s}")
+            if timings is not None:
+                timings["feed_wait_s"] += t_asm
+            # assemble the NEXT season on a thread (multi-core hosts only):
+            # the native reader releases the GIL, so decode overlaps this
+            # season's device compute and upload
+            th = None
+            if overlap and si + 1 < len(order):
+                th = _threading.Thread(target=_assemble, args=(order[si + 1],))
+                th.start()
+            if mos_host is None:
+                # this season needs per-patch NaN healing -> host feed;
+                # later NaN-free seasons still run on device
+                remaining.extend(int(i) for i in by_season[s])
+                if bar is not None:
+                    bar.update(len(by_season[s]))
+            else:
+                t0 = _time.perf_counter()
+                mos_dev = jax.device_put(mos_host)
+                if timings is not None:
+                    timings["upload_s"] += _time.perf_counter() - t0
+                del mos_host
+                t0 = _time.perf_counter()
+                booked_warmup = first_visit
+                for idx in by_season[s]:
+                    if first_visit:
+                        t_fv = _time.perf_counter()
+                    x, y = (int(v) for v in coords[idx][:2])
+                    batch = crop(mos_dev, jnp.asarray((x, y), jnp.int32))
+                    batch["mask"] = mask_dev
+                    batch["valid"] = valid_dev
+                    res = fwd(stacked, batch)
+                    if packed_stitch:
+                        ff = f_eval * f_eval
+                        xy = jnp.asarray(
+                            (x // f_eval, (y // f_eval) * ff), jnp.int32
+                        )
+                        if x % f_eval == 0 and y % f_eval == 0:
+                            accs = add_aligned(accs, res, xy, 0)
+                        else:
+                            accs = add_misaligned(
+                                accs, res, xy, x % f_eval, y % f_eval, 0
+                            )
+                    else:
+                        accs = s_add1(accs, res, jnp.asarray([[x, y]], jnp.int32))
+                    if first_visit:
+                        # drain the first visit and book its WHOLE wall time
+                        # (trace + executable load/compile — one-time, tens
+                        # of seconds through a remote-compile tunnel — plus
+                        # the first run) as timings['warmup_s'], so
+                        # steady-state throughput is attributable
+                        accs = dict(jax.block_until_ready(accs))
+                        if timings is not None:
+                            timings["warmup_s"] = _time.perf_counter() - t_fv
+                        first_visit = False
+                    if timings is not None:
+                        timings["n_patches"] += 1
+                    if bar is not None:
+                        bar.update(1)
+                if timings is not None:
+                    seg = _time.perf_counter() - t0
+                    if booked_warmup:
+                        seg -= timings.get("warmup_s", 0.0)
+                    timings["dispatch_s"] += seg
+            if th is not None:
+                th.join()
+    finally:
+        if bar is not None:
+            bar.close()
+    return sorted(remaining), accs
+
+
 def run_sliding_inference(
     members: Sequence[Tree],
     consts: Tree,
@@ -560,6 +761,8 @@ def run_sliding_inference(
     mesh=None,
     progress: bool = False,
     device_stitch: str = "auto",
+    device_feed: str = "auto",
+    return_device: bool = False,
     num_workers: int = 1,
     timings: Optional[Dict[str, float]] = None,
 ) -> Dict[str, np.ndarray]:
@@ -570,13 +773,28 @@ def run_sliding_inference(
     of per-patch result maps); "host"/"device" force the mode. Mesh-sharded
     runs always stitch on host (results are device-sharded).
 
+    device_feed: "auto" uploads each season's mosaics to HBM once and runs
+    the sliding window as on-device crops (infer/device_feed.py) whenever
+    the run is single-process, the accumulators are device-resident and the
+    mosaics are NaN-free; "on"/"off" force the mode. Per-patch host->device
+    transfers (~48-64 MB each, the pipeline bottleneck on any host link
+    slower than ~400 MB/s) disappear; patches whose data needs the
+    reference's NaN-healing path fall back to the host feed automatically.
+    The feed's batch dimension is 1 in this mode (there is no host
+    round-trip to amortise).
+
+    return_device: return the finalized maps as device arrays instead of
+    numpy (callers that aggregate/adjust on device avoid fetching
+    country-scale maps they never touch on host).
+
     timings: optional dict filled with the wall-clock split of the run —
-    'feed_wait_s' (host blocked obtaining the next patch batch from the
-    feed: raster reads + decompress + assembly), 'dispatch_s' (issuing the
-    forward + stitch work; device compute is async behind it),
-    'finalize_s' (drain + accumulator fetch + mean/std math), 'total_s',
-    'n_patches' (valid patch visits). Used by bench.py's measured
-    ``full_pipeline`` metric (VERDICT round 2, next #4).
+    'feed_wait_s' (host blocked obtaining the next patch batch / season
+    mosaic from the feed: raster reads + decompress + assembly),
+    'upload_s' (host blocked in season-mosaic device_put, device-feed
+    mode only), 'dispatch_s' (issuing the forward + stitch work; device
+    compute is async behind it), 'finalize_s' (drain + fetch + mean/std
+    math), 'total_s', 'n_patches' (valid patch visits). Used by bench.py's
+    measured ``full_pipeline`` metric (VERDICT round 2, next #4).
     """
     stats = stats or NormStats()
     stacked = stack_ensemble(list(members))
@@ -636,22 +854,54 @@ def run_sliding_inference(
         }
         add_aligned, add_misaligned = _make_packed_stitch_adds(f)
 
+    if timings is not None:
+        import time as _time
+
+        for k in ("feed_wait_s", "upload_s", "dispatch_s", "finalize_s", "total_s"):
+            timings.setdefault(k, 0.0)
+        timings.setdefault("n_patches", 0)
+        _t_run0 = _time.perf_counter()
+
+    # ---- device-resident mosaic feed (infer/device_feed.py) -----------------
+    # Upload each season's mosaics to HBM once; the sliding window becomes
+    # on-device dynamic_slice crops feeding the SAME prep/members
+    # executables. Per-patch host->device transfers disappear entirely.
+    remaining = None  # None -> every patch goes through the host feed
+    dev_feed_on = device_feed == "on" or (
+        device_feed == "auto"
+        and mesh is None
+        and use_device
+        and dataset.mode == "test"
+        and bool(dataset.patchsize)
+    )
+    if device_feed == "on" and (mesh is not None or not use_device):
+        raise ValueError(
+            "device_feed='on' requires a single-process run with "
+            "device-resident stitch accumulators (mesh=None and the region "
+            "under the device-stitch budget); use device_feed='auto'"
+        )
+    if dev_feed_on and mesh is None and use_device:
+        remaining, dev_accs = _run_device_feed_pass(
+            dataset, fwd, stacked, dev_accs,
+            f_eval=f_eval, packed_stitch=packed_stitch,
+            add_aligned=add_aligned if packed_stitch else None,
+            add_misaligned=add_misaligned if packed_stitch else None,
+            stitch_add=(stitch_add if (use_device and not packed_stitch) else None),
+            batch_size=batch_size, timings=timings, progress=progress,
+        )
+
     feed = InferenceFeed(
-        dataset, batch_size=batch_size, prefetch=2, num_workers=num_workers
+        dataset, batch_size=batch_size, prefetch=2, num_workers=num_workers,
+        indices=remaining,
     )
     it = feed
-    if progress:
+    if progress and len(feed):
         from tqdm import tqdm
 
         it = tqdm(feed, total=len(feed), leave=False)
 
     if timings is not None:
-        import time as _time
-
-        for k in ("feed_wait_s", "dispatch_s", "finalize_s", "total_s"):
-            timings.setdefault(k, 0.0)
-        timings.setdefault("n_patches", 0)
-        _t_run0 = _time.perf_counter()
+        _fw_before_host = timings["feed_wait_s"]
 
         def _timed_feed(source):
             src = iter(source)
@@ -758,29 +1008,25 @@ def run_sliding_inference(
                 acc.add(x, y, res, b)
     if timings is not None:
         _t_fin0 = _time.perf_counter()
-        timings["dispatch_s"] += (_t_fin0 - _t_loop0) - timings["feed_wait_s"]
-    if packed_stitch:
-        f = f_eval
-        hcp, wcpf = dev_accs["dense_sum"].shape
-        unp = jax.jit(
-            lambda a: unpack_scalar(
-                a[None].reshape(1, hcp, wcpf // (f * f), f * f), f
-            )[0, :h, :w]
+        timings["dispatch_s"] += (_t_fin0 - _t_loop0) - (
+            timings["feed_wait_s"] - _fw_before_host
         )
-        host = {k: np.asarray(unp(v)) for k, v in dev_accs.items()}
-        acc.out = host["dense_sum"]
-        acc.out_sq = host["dense_sq"]
-        acc.scale = host["scale_sum"]
-        acc.scale_sq = host["scale_sq"]
-        acc.count = np.rint(host["count"]).astype(np.int32)
-    elif use_device:
-        host = {k: np.asarray(v) for k, v in dev_accs.items()}
-        acc.out = host["dense_sum"]
-        acc.out_sq = host["dense_sq"]
-        acc.scale = host["scale_sum"]
-        acc.scale_sq = host["scale_sq"]
-        acc.count = host["count"].astype(np.int32)
-    out = acc.finalize()
+    if use_device:
+        # finalize ON DEVICE: one fused unpack + visit-count mean/std jit.
+        # The country-scale accumulators (5 maps) are never fetched; the
+        # host receives finished maps — or, with return_device, nothing at
+        # all until a consumer (census agg / GeoTIFF write) asks.
+        fin = _device_finalize_fn(
+            f_eval if packed_stitch else 1, h, w,
+            tuple(dev_accs["dense_sum"].shape),
+        )
+        dev_maps = fin(dev_accs)
+        dev_maps = dict(jax.block_until_ready(dev_maps))
+        out = dev_maps if return_device else {
+            k: np.asarray(v) for k, v in dev_maps.items()
+        }
+    else:
+        out = acc.finalize()
     if timings is not None:
         t1 = _time.perf_counter()
         timings["finalize_s"] += t1 - _t_fin0

@@ -100,6 +100,19 @@ def _get_lib():
             ctypes.c_char_p,
             ctypes.c_int,
         ]
+        lib.gt_read_window_raw.restype = ctypes.c_int
+        lib.gt_read_window_raw.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
         lib.gtw_create.restype = ctypes.c_void_p
         lib.gtw_create.argtypes = [
             ctypes.c_char_p,
@@ -175,7 +188,12 @@ class GeoTIFF:
         bands: Optional[Sequence[int]] = None,
         window: Optional[Window] = None,
         squeeze: bool = False,
+        raw: bool = False,
     ) -> np.ndarray:
+        """raw=True returns the file's NATIVE dtype with no conversion —
+        half the memory traffic for uint16 mosaics; the device-resident
+        eval feed ships these bytes straight to HBM and upcasts inside the
+        normalize jit (infer/device_feed.py)."""
         if self._h is None:
             raise IOError("closed")
         if bands is None:
@@ -188,21 +206,19 @@ class GeoTIFF:
         h, w = int(r1 - r0), int(c1 - c0)
         if h <= 0 or w <= 0:
             raise ValueError(f"empty window {window}")
-        out = np.empty((len(bands), h, w), np.float32)
+        out = np.empty((len(bands), h, w), self.dtype if raw else np.float32)
         barr = (ctypes.c_int * len(bands))(*bands)
         err = ctypes.create_string_buffer(256)
-        rc = self._lib.gt_read_window(
-            self._h,
-            barr,
-            len(bands),
-            int(c0),
-            int(r0),
-            w,
-            h,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            err,
-            256,
-        )
+        if raw:
+            rc = self._lib.gt_read_window_raw(
+                self._h, barr, len(bands), int(c0), int(r0), w, h,
+                out.ctypes.data_as(ctypes.c_void_p), err, 256,
+            )
+        else:
+            rc = self._lib.gt_read_window(
+                self._h, barr, len(bands), int(c0), int(r0), w, h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256,
+            )
         if rc != 0:
             raise IOError(
                 f"read_window failed on {self.path} {window}: {err.value.decode()}"

@@ -697,9 +697,28 @@ struct Reader {
     }
   }
 
-  // Windowed read of `nbands` 1-based band indices into out[b][h][w] float32.
+  // Strided raw copy in the file's native dtype (no conversion): the fast
+  // path for uint16 S2 mosaics feeding the device-resident eval feed —
+  // half the output bytes of the float32 conversion and a straight memcpy
+  // when the band is alone in its plane.
+  static void copy_row_raw(uint8_t* dst, const uint8_t* src, int64_t n,
+                           size_t stride_bytes, size_t sb) {
+    if (stride_bytes == sb) {
+      memcpy(dst, src, (size_t)n * sb);
+      return;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      memcpy(dst, src, sb);
+      dst += sb;
+      src += stride_bytes;
+    }
+  }
+
+  // Windowed read of `nbands` 1-based band indices into out[b][h][w]:
+  // float32 (raw=false, converted) or the file's native dtype (raw=true).
   bool read_window(const int* bands, int nbands, int64_t x0, int64_t y0,
-                   int64_t win_w, int64_t win_h, float* out, Err& err) {
+                   int64_t win_w, int64_t win_h, uint8_t* out, bool raw,
+                   Err& err) {
     if (x0 < 0 || y0 < 0 || x0 + win_w > (int64_t)width ||
         y0 + win_h > (int64_t)height) {
       err.set("window out of bounds");
@@ -758,10 +777,17 @@ struct Reader {
             for (int b = 0; b < nbands; ++b) {
               if (planar == 2 && job.band_slot != b) continue;
               int comp = planar == 1 ? bands[b] - 1 : 0;
-              float* orow = out + ((size_t)b * win_h + (y - y0)) * win_w + (ix0 - x0);
+              size_t osb = raw ? sample_bytes : 4;
+              uint8_t* orow =
+                  out +
+                  (((size_t)b * win_h + (y - y0)) * win_w + (ix0 - x0)) * osb;
               const uint8_t* src =
                   row + ((size_t)(ix0 - gx0) * comps + comp) * sample_bytes;
-              copy_row(orow, src, ix1 - ix0, comps * sample_bytes);
+              if (raw)
+                copy_row_raw(orow, src, ix1 - ix0, comps * sample_bytes,
+                             sample_bytes);
+              else
+                copy_row((float*)orow, src, ix1 - ix0, comps * sample_bytes);
             }
           }
         }
@@ -802,9 +828,13 @@ struct Reader {
           for (int b = 0; b < nbands; ++b) {
             if (planar == 2 && pl != b) continue;
             int comp = planar == 1 ? bands[b] - 1 : 0;
-            float* orow = out + ((size_t)b * win_h + (y - y0)) * win_w;
+            size_t osb = raw ? sample_bytes : 4;
+            uint8_t* orow = out + ((size_t)b * win_h + (y - y0)) * win_w * osb;
             const uint8_t* src = row + ((size_t)x0 * comps + comp) * sample_bytes;
-            copy_row(orow, src, win_w, comps * sample_bytes);
+            if (raw)
+              copy_row_raw(orow, src, win_w, comps * sample_bytes, sample_bytes);
+            else
+              copy_row((float*)orow, src, win_w, comps * sample_bytes);
           }
         }
       }
@@ -1106,7 +1136,23 @@ int gt_read_window(void* h, const int* bands, int nbands, long long x0,
                    char* errbuf, int errlen) {
   Err err{errbuf, errlen};
   Reader* r = (Reader*)h;
-  return r->read_window(bands, nbands, x0, y0, w, hh, out, err) ? 0 : 1;
+  return r->read_window(bands, nbands, x0, y0, w, hh, (uint8_t*)out,
+                        /*raw=*/false, err)
+             ? 0
+             : 1;
+}
+
+// Raw windowed read: `out` receives the file's native dtype (gt_dtype),
+// no float conversion — half the memory traffic for uint16 mosaics.
+int gt_read_window_raw(void* h, const int* bands, int nbands, long long x0,
+                       long long y0, long long w, long long hh, void* out,
+                       char* errbuf, int errlen) {
+  Err err{errbuf, errlen};
+  Reader* r = (Reader*)h;
+  return r->read_window(bands, nbands, x0, y0, w, hh, (uint8_t*)out,
+                        /*raw=*/true, err)
+             ? 0
+             : 1;
 }
 
 void* gtw_create(const char* path, long long w, long long h, int bands,

@@ -450,19 +450,24 @@ class Trainer:
         return self._val_feeds[key]
 
     def test_target(self, save: bool = False) -> Dict[str, float]:
-        """In-training sliding-window test (run_train.py:314-370)."""
+        """In-training sliding-window test (run_train.py:314-370).
+
+        Maps stay ON DEVICE: census aggregation is a device segment-sum
+        (agg.census_agg.DeviceCensus), so a save=False validation never
+        fetches a country-scale map to host."""
         out = {}
         for ds in self.test_datasets:
             maps = run_sliding_inference(
                 [self.params], self.consts, self.mcfg, ds,
                 stats=self.stats, batch_size=self.test_patch_batch,
                 num_workers=self.tcfg.num_workers,
+                return_device=True,
             )
             if save:
-                ds.save(maps["map"], self.experiment_folder)
+                ds.save(np.asarray(maps["map"]), self.experiment_folder)
                 if self.mcfg.occupancy_model:
                     ds.save(
-                        maps["scale"], self.experiment_folder,
+                        np.asarray(maps["scale"]), self.experiment_folder,
                         tag=f"SCALE_{ds.region}",
                     )
             for level in TESTLEVELS.get(ds.region, ["coarse"]):
@@ -470,8 +475,17 @@ class Trainer:
                     boundary = g.read(1, squeeze=True)
                 import pandas as pd
 
+                from ..agg.census_agg import DeviceCensus
+
                 census = pd.read_csv(ds.census_paths[level])
-                pred_c, gt_c = convert_popmap_to_census(maps["map"], boundary, census)
+                if isinstance(maps["map"], jax.Array):
+                    pred_c, gt_c = DeviceCensus(boundary, census).convert(
+                        maps["map"]
+                    )
+                else:
+                    pred_c, gt_c = convert_popmap_to_census(
+                        maps["map"], boundary, census
+                    )
                 out.update(
                     get_test_metrics(
                         pred_c, gt_c, tag=f"MainCensus_{ds.region}_{level}"

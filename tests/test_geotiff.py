@@ -35,6 +35,29 @@ def test_roundtrip_uint16(tmp_path, rng):
         np.testing.assert_array_equal(g.read(), data.astype(np.float32))
 
 
+def test_raw_read_native_dtype(tmp_path, rng):
+    """raw=True returns the file's native dtype bit-for-bit (the
+    device-feed transport path skips the float32 detour entirely)."""
+    data = rng.integers(0, 10000, size=(4, 90, 70)).astype(np.uint16)
+    p = str(tmp_path / "raw16.tif")
+    write_geotiff(p, data.astype(np.float32), dtype=np.uint16)
+    with GeoTIFF(p) as g:
+        r = g.read(raw=True)
+        assert r.dtype == np.uint16
+        np.testing.assert_array_equal(r, data)
+        # windowed + band-subset raw read, tile-crossing window
+        win = g.read(bands=(3, 1), window=((7, 66), (13, 70)), raw=True)
+        assert win.dtype == np.uint16
+        np.testing.assert_array_equal(win[0], data[2, 7:66, 13:70])
+        np.testing.assert_array_equal(win[1], data[0, 7:66, 13:70])
+    # float path: raw read of an f32 file is the identity
+    fdata = rng.standard_normal((2, 50, 40)).astype(np.float32)
+    pf = str(tmp_path / "rawf.tif")
+    write_geotiff(pf, fdata)
+    with GeoTIFF(pf) as g:
+        np.testing.assert_array_equal(g.read(raw=True), fdata)
+
+
 def test_template_geo_copy(tmp_path, rng):
     a = rng.standard_normal((1, 40, 40)).astype(np.float32)
     p1 = str(tmp_path / "a.tif")
