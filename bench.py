@@ -160,14 +160,18 @@ def full_pipeline_bench(members, consts, mcfg, device_pps):
 
 
 def train_e2e_bench(params0, consts, mcfg):
-    """Steady-state train-epoch throughput WITH the host feed (VERDICT
-    round 2, next #7): one warmup epoch (compiles per bucket), then a
-    timed epoch; asserts zero XLA compile requests during the timed epoch
-    (counted via jax.monitoring compilation-cache events)."""
+    """Steady-state train-epoch throughput with the real data plane
+    (VERDICT round 2, next #7): one warmup epoch (compiles per bucket),
+    then a timed epoch; asserts zero XLA compile requests during the
+    timed epoch (counted via jax.monitoring compilation-cache events).
+    Measured twice: with the host feed (mosaic crops read + shipped per
+    step, reference run_train.py:423-431) and with the HBM-resident
+    device feed (data/device_weaksup.py: upload once, crop on device)."""
     import jax
 
     from popcorn_tpu.config import TrainConfig
     from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.data.device_weaksup import DeviceWeaksupFeed
     from popcorn_tpu.data.feed import WeaksupFeed
     from popcorn_tpu.data.normalize import NormStats
     from popcorn_tpu.train.state import make_optimizer, make_train_step
@@ -179,54 +183,67 @@ def train_e2e_bench(params0, consts, mcfg):
         max_pix=10_000_000, max_pix_box=12_000_000,
     )
     tcfg = TrainConfig(weak_batch_size=2)
-    feed = WeaksupFeed(
-        [ds], batch_size=2, bucket_ladder=tcfg.bucket_ladder, seed=1600,
+    feed_kw = dict(
+        batch_size=2, bucket_ladder=tcfg.bucket_ladder, seed=1600,
         num_workers=1, max_samples=128,
     )
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params0)
     step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
 
-    def run_epoch(epoch):
-        n, t0 = 0, time.time()
-        p, o = params0, opt_state
-        key = jax.random.PRNGKey(epoch)
-        for batch in feed.epoch(epoch):
-            dev = jax.device_put(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            )
-            key, sub = jax.random.split(key)
-            p, o, aux = step(p, o, dev, sub)
-            n += batch["y"].shape[0]
-        jax.block_until_ready(p)
-        return n, time.time() - t0
-
-    n_warm, t_warm = run_epoch(0)  # compiles one executable per bucket
-    log(f"train e2e warmup epoch: {n_warm} samples in {t_warm:.1f}s")
-
     from jax._src import monitoring as _mon
 
-    compile_events = []
+    def measure(feed, tag):
+        def run_epoch(epoch):
+            n, t0 = 0, time.time()
+            p, o = params0, opt_state
+            key = jax.random.PRNGKey(epoch)
+            for batch in feed.epoch(epoch):
+                dev = jax.device_put(
+                    {k: v for k, v in batch.items()
+                     if isinstance(v, (np.ndarray, jax.Array))}
+                )
+                key, sub = jax.random.split(key)
+                p, o, aux = step(p, o, dev, sub)
+                n += batch["y"].shape[0]
+            jax.block_until_ready(p)
+            return n, time.time() - t0
 
-    def _listener(name, **kw):
-        if "compile" in name:
-            compile_events.append(name)
+        n_warm, t_warm = run_epoch(0)  # compiles one executable per bucket
+        log(f"train e2e [{tag}] warmup epoch: {n_warm} samples in {t_warm:.1f}s")
 
-    _mon.register_event_listener(_listener)
-    n, dt = run_epoch(1)
-    _mon.unregister_event_listener(_listener)
-    sps = n / dt
-    log(
-        f"train e2e epoch: {n} samples in {dt:.1f}s -> {sps:.2f} samples/s, "
-        f"compile requests during timed epoch: {len(compile_events)}"
-    )
+        compile_events = []
+
+        def _listener(name, **kw):
+            if "compile" in name:
+                compile_events.append(name)
+
+        _mon.register_event_listener(_listener)
+        n, dt = run_epoch(1)
+        _mon.unregister_event_listener(_listener)
+        sps = n / dt
+        log(
+            f"train e2e [{tag}] epoch: {n} samples in {dt:.1f}s -> "
+            f"{sps:.2f} samples/s, compile requests during timed epoch: "
+            f"{len(compile_events)}"
+        )
+        return {
+            "samples_per_sec": round(sps, 3),
+            "epoch_s": round(dt, 2),
+            "n_samples": n,
+            "recompiles_after_warmup": len(compile_events),
+        }
+
+    out = {"host_feed": measure(WeaksupFeed([ds], **feed_kw), "host feed")}
+    try:
+        out["device_feed"] = measure(
+            DeviceWeaksupFeed([ds], **feed_kw), "device feed"
+        )
+    except Exception as e:  # Ineligible or OOM: report, keep host number
+        log(f"device training feed unavailable in bench: {e}")
+        out["device_feed"] = {"error": str(e)[:200]}
     ds.close()
-    return {
-        "samples_per_sec": round(sps, 3),
-        "epoch_s": round(dt, 2),
-        "n_samples": n,
-        "recompiles_after_warmup": len(compile_events),
-    }
+    return out
 
 
 def main():

@@ -38,6 +38,14 @@ def _add_common(p: argparse.ArgumentParser):
                    default="bfloat16")
     p.add_argument("--fused_head", action="store_true", default=None)
     p.add_argument("--no_fused_head", dest="fused_head", action="store_false")
+    p.add_argument("--remat", dest="remat_unet", action="store_true",
+                   help="jax.checkpoint each UNet DoubleConv: ~the UNet's "
+                        "activation HBM traded for one extra forward pass. "
+                        "Raises the trainable-pixel ceiling past the "
+                        "reference's freeze tiers (-lim1/-lim2: it freezes "
+                        "the encoder/UNet above those sizes for GPU memory, "
+                        "run_train.py:190-198 — with --remat the full model "
+                        "can keep training at those sizes instead)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices on the 'data' mesh axis")
     p.add_argument("--ensemble_parallel", type=int, default=1,
@@ -98,6 +106,13 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("-mws", "--max_weak_samples", type=int, default=None)
     p.add_argument("-mwp", "--max_weak_pix", type=int, default=10_000_000)
     p.add_argument("-mpb", "--max_pix_box", type=int, default=12_000_000)
+    p.add_argument("--device_feed", choices=("auto", "on", "off"), default="auto",
+                   help="HBM-resident training feed: upload the region's "
+                        "season mosaics to device once and assemble batches "
+                        "on device (zero image bytes host->device per step). "
+                        "auto = when single-region, single-process, NaN-free "
+                        "and within the HBM budget; falls back to the host "
+                        "feed otherwise")
     return p
 
 
@@ -164,6 +179,7 @@ def model_config_from_args(a) -> ModelConfig:
         compute_dtype=a.compute_dtype,
         fused_head=fused,
         quantize=getattr(a, "quantize", None),
+        remat_unet=getattr(a, "remat_unet", False),
     )
 
 
@@ -206,6 +222,7 @@ def train_config_from_args(a) -> TrainConfig:
         data_parallel=a.data_parallel,
         multihost=a.multihost,
         watch_every=a.watch_every,
+        device_feed=getattr(a, "device_feed", "auto"),
     )
 
 

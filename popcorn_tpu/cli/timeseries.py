@@ -20,6 +20,9 @@ import sys
 
 
 def main():
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     argv = sys.argv[2:]
     if mode == "builtup":

@@ -358,6 +358,7 @@ class TrainConfig:
     # so mid-epoch -vi validation doesn't re-read windows from disk
     watch_every: int = 0  # >0: log per-layer grad norms + param histograms
     # every N iters (the reference's wandb.watch, run_train.py:75)
+    device_feed: str = "auto"  # HBM-resident training feed (device_weaksup)
 
 
 @dataclasses.dataclass

@@ -404,6 +404,32 @@ class PopulationDataset:
             "census_idx": np.float32(row["idx"]),
         }
 
+    def get_admin_meta(self, index: int, rng: np.random.Generator) -> Dict:
+        """Metadata of one census-region sample WITHOUT raster reads: the
+        same rng draws, window arithmetic and scalar fields as
+        get_admin_item, in the same order — the device-resident training
+        feed (data/device_weaksup.py) assembles the pixels on device from
+        HBM-resident mosaics, so the host only needs coordinates."""
+        row = self.census.iloc[index]
+        xmin, xmax, ymin, ymax = parse_bbox(row["bbox"])
+        season_idx = int(rng.integers(0, 4)) if self.fourseasons else 0
+        descending = bool(rng.integers(0, 2)) if self.asc_aug else True
+        ad_over = 32
+        x0 = max(xmin - ad_over, 0)
+        y0 = max(ymin - ad_over, 0)
+        x1 = min(xmax + ad_over, self.cr_shape[0])
+        y1 = min(ymax + ad_over, self.cr_shape[1])
+        return {
+            "x0": x0,
+            "y0": y0,
+            "dx": x1 - x0,
+            "dy": y1 - y0,
+            "season": season_idx,
+            "descending": descending,
+            "y": np.float32(row["POP20"]),
+            "census_idx": np.float32(row["idx"]),
+        }
+
     def get_test_item(self, index: int) -> Dict:
         """One sliding-window patch (PopulationDataset.py:461-523)."""
         x, y, season_idx = (int(v) for v in self.patch_indices[index])

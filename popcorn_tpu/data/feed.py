@@ -208,6 +208,18 @@ class WeaksupFeed:
             batch["photometric"] = np.asarray([0.0, 1.0, 0.0, 1.0], np.float32)
         return batch
 
+    # hooks overridden by DeviceWeaksupFeed (device_weaksup.py): item fetch
+    # and the (h, w) used for bucket grouping
+    def _fetch_item(self, j: int, epoch: int) -> Optional[Dict]:
+        d, i = self.index[j]
+        try:
+            return self.datasets[d].get_admin_item(i, _item_rng(self.seed, epoch, j))
+        except ValueError:
+            return None  # unhealable sample ("No data here!"), skip
+
+    def _item_hw(self, item: Dict) -> Tuple[int, int]:
+        return item["admin_mask"].shape
+
     def _epoch_batches(self, epoch: int) -> Iterator[Dict]:
         rng = np.random.default_rng(self.seed + 1000 * epoch)
         order = rng.permutation(len(self.index))
@@ -215,17 +227,8 @@ class WeaksupFeed:
             # -ms epoch sample cap (reference arguments/train.py:58)
             order = order[: self.max_samples]
 
-        def fetch(j: int) -> Optional[Dict]:
-            d, i = self.index[j]
-            try:
-                return self.datasets[d].get_admin_item(
-                    i, _item_rng(self.seed, epoch, j)
-                )
-            except ValueError:
-                return None  # unhealable sample ("No data here!"), skip
-
         items_in_order = _ordered_map(
-            fetch, order, self.num_workers,
+            lambda j: self._fetch_item(j, epoch), order, self.num_workers,
             window=self.num_workers + max(2, self.prefetch),
         )
         # group by bucket shape so batch members share a static shape
@@ -234,7 +237,7 @@ class WeaksupFeed:
         for item in items_in_order:
             if item is None:
                 continue
-            h, w = item["admin_mask"].shape
+            h, w = self._item_hw(item)
             key = (bucket_dim(h, self.ladder), bucket_dim(w, self.ladder))
             pending.setdefault(key, []).append(item)
             if len(pending[key]) == self.batch_size:

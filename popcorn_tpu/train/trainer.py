@@ -27,6 +27,7 @@ from ..config import (
     find_dda_checkpoint,
 )
 from ..data.dataset import PopulationDataset
+from ..data.device_weaksup import DeviceWeaksupFeed, Ineligible
 from ..data.feed import WeaksupFeed
 from ..data.normalize import NormStats
 from ..io.geotiff import GeoTIFF
@@ -115,8 +116,7 @@ class Trainer:
             for reg in tcfg.target_regions
         ]
 
-        self.feed = WeaksupFeed(
-            self.train_datasets,
+        feed_kw = dict(
             batch_size=tcfg.weak_batch_size,
             bucket_ladder=tcfg.bucket_ladder,
             seed=tcfg.seed,
@@ -125,6 +125,22 @@ class Trainer:
             max_samples=tcfg.max_samples,
             num_workers=tcfg.num_workers,
         )
+        self.feed = None
+        dev_feed = getattr(tcfg, "device_feed", "auto")
+        if dev_feed != "off" and tcfg.data_parallel == 1 and not tcfg.multihost:
+            # HBM-resident training data plane: mosaics upload once, batch
+            # assembly (crop + mask + geometric augs) runs on device —
+            # steady-state training moves zero image bytes host->device
+            # (data/device_weaksup.py; batch parity pinned in tests)
+            try:
+                self.feed = DeviceWeaksupFeed(self.train_datasets, **feed_kw)
+                print("Training feed: device-resident mosaics (HBM)")
+            except Ineligible as e:
+                if dev_feed == "on":
+                    raise
+                print(f"Device training feed unavailable ({e}); using host feed")
+        if self.feed is None:
+            self.feed = WeaksupFeed(self.train_datasets, **feed_kw)
 
         # model ---------------------------------------------------------------
         key = jax.random.PRNGKey(tcfg.seed)
@@ -439,14 +455,26 @@ class Trainer:
             self._val_feeds = {}
         key = id(ds)
         if key not in self._val_feeds:
-            self._val_feeds[key] = WeaksupFeed(
-                [ds], batch_size=self.tcfg.weak_val_batch_size,
+            vkw = dict(
+                batch_size=self.tcfg.weak_val_batch_size,
                 bucket_ladder=self.tcfg.bucket_ladder,
                 seed=self.tcfg.seed, augment=False, drop_last=False,
                 building_input=self.mcfg.building_input,
                 segmentation_input=self.mcfg.segmentation_input,
                 num_workers=self.tcfg.num_workers,
             )
+            feed = None
+            if isinstance(self.feed, DeviceWeaksupFeed):
+                # validation crops come from the SAME resident mosaics as
+                # training — share the upload instead of re-reading every
+                # val window per pass (reference run_train.py:289-312)
+                try:
+                    feed = DeviceWeaksupFeed([ds], resident_from=self.feed, **vkw)
+                except Ineligible:
+                    pass
+            if feed is None:
+                feed = WeaksupFeed([ds], **vkw)
+            self._val_feeds[key] = feed
         return self._val_feeds[key]
 
     def test_target(self, save: bool = False) -> Dict[str, float]:

@@ -20,6 +20,9 @@ from popcorn_tpu.infer.evaluator import Evaluator
 
 def main():
     args = eval_parser().parse_args()
+    from popcorn_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     paths = DataPaths(args.data_root)
     mcfg = model_config_from_args(args)
     ecfg = eval_config_from_args(args)

@@ -19,6 +19,9 @@ from popcorn_tpu.train.trainer import Trainer
 
 def main():
     args = train_parser().parse_args()
+    from popcorn_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     if args.multihost:
         # must run before the first jax backend query on every host
         import jax

@@ -17,6 +17,8 @@ def test_run_dda_train_cli(tmp_path):
          "--unlabeled-per-batch", "1", "--out", out],
         capture_output=True, text=True, cwd="/root/repo",
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        timeout=1200,  # hermetic-CPU budget: a hang here means the CLI
+        # touched the ambient accelerator (utils.apply_platform_env)
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "epoch 1" in r.stdout and "eval:" in r.stdout

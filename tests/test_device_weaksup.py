@@ -1,0 +1,151 @@
+"""Device-resident weaksup training feed (data/device_weaksup.py):
+bit-parity with the host feed and eligibility fallback.
+
+The reference re-reads and re-ships every census crop to the GPU each
+epoch (run_train.py:423-431 + PopulationDataset.py:387-458); the device
+feed uploads the season mosaics to HBM once and assembles batches on
+device. These tests pin that for every batch of an epoch the device feed
+yields exactly the host feed's arrays (same item order, same rng draws,
+same bucket shapes, same augmentation results).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from popcorn_tpu.data.dataset import PopulationDataset
+from popcorn_tpu.data.device_weaksup import DeviceWeaksupFeed, Ineligible
+from popcorn_tpu.data.feed import WeaksupFeed
+from popcorn_tpu.data.synthetic import make_synthetic_region
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("devweak_data"))
+    return make_synthetic_region(
+        root, "rwa", height=320, width=448, seed=7,
+        with_viirs=True, with_buildings=True,
+    )
+
+
+def _ds(synth, **kw):
+    kw.setdefault("fourseasons", True)
+    return PopulationDataset(
+        synth, "rwa", mode="weaksup", train_level="coarse",
+        patchsize=None, overlap=None, **kw,
+    )
+
+
+def _assert_batches_equal(host_batches, dev_batches):
+    assert len(host_batches) == len(dev_batches) > 0
+    for bh, bd in zip(host_batches, dev_batches):
+        assert set(bh) == set(bd), (sorted(bh), sorted(bd))
+        for k in bh:
+            a, b = np.asarray(bh[k]), np.asarray(bd[k])
+            assert a.dtype == b.dtype, (k, a.dtype, b.dtype)
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+@pytest.mark.parametrize("augment", [False, True])
+def test_device_feed_batch_parity(synth, augment):
+    ds = _ds(synth)
+    kw = dict(batch_size=2, seed=1600, prefetch=0, augment=augment)
+    host = WeaksupFeed([ds], **kw)
+    dev = DeviceWeaksupFeed([ds], **kw)
+    for epoch in (0, 1):
+        _assert_batches_equal(list(host.epoch(epoch)), list(dev.epoch(epoch)))
+    # image keys arrive as committed device arrays (no host->device copy
+    # left for the trainer to pay)
+    b = next(iter(dev.epoch(0)))
+    for k in ("S2", "S1", "admin_mask"):
+        assert isinstance(b[k], jax.Array), k
+    ds.close()
+
+
+def test_device_feed_parity_viirs_buildings(synth):
+    """All modalities resident: VIIRS + pre-rasterised building counts,
+    with the -binp/-sinp derived-segmentation policy."""
+    ds = _ds(synth, viirs=True, sentinelbuildings=False)
+    kw = dict(
+        batch_size=2, seed=1601, prefetch=0,
+        building_input=True, segmentation_input=True,
+    )
+    host = WeaksupFeed([ds], **kw)
+    dev = DeviceWeaksupFeed([ds], **kw)
+    hb, db = list(host.epoch(0)), list(dev.epoch(0))
+    assert "VIIRS" in hb[0] and "building_counts" in hb[0]
+    assert "building_segmentation" in hb[0]  # derived from counts
+    _assert_batches_equal(hb, db)
+    ds.close()
+
+
+def test_device_feed_parity_no_nir_one_season(synth):
+    ds = _ds(synth, nir=False, fourseasons=False)
+    kw = dict(batch_size=2, seed=1602, prefetch=0)
+    _assert_batches_equal(
+        list(WeaksupFeed([ds], **kw).epoch(0)),
+        list(DeviceWeaksupFeed([ds], **kw).epoch(0)),
+    )
+    ds.close()
+
+
+def test_device_feed_max_samples_cap(synth):
+    """-ms epoch cap flows through the shared epoch logic."""
+    ds = _ds(synth)
+    kw = dict(batch_size=2, seed=1600, prefetch=0, max_samples=4)
+    _assert_batches_equal(
+        list(WeaksupFeed([ds], **kw).epoch(0)),
+        list(DeviceWeaksupFeed([ds], **kw).epoch(0)),
+    )
+    ds.close()
+
+
+def test_ineligible_budget(synth):
+    ds = _ds(synth)
+    with pytest.raises(Ineligible, match="budget"):
+        DeviceWeaksupFeed([ds], batch_size=2, seed=1600, hbm_budget_bytes=1e3)
+    ds.close()
+
+
+def test_ineligible_nan_mosaic(tmp_path):
+    paths = make_synthetic_region(
+        str(tmp_path), "rwa", height=256, width=256, seed=9, nan_fraction=0.01
+    )
+    ds = _ds(paths)
+    with pytest.raises(Ineligible):
+        DeviceWeaksupFeed([ds], batch_size=2, seed=1600)
+    ds.close()
+
+
+def test_ineligible_asc_aug(synth):
+    ds = _ds(synth, asc_aug=True)
+    with pytest.raises(Ineligible, match="ascending"):
+        DeviceWeaksupFeed([ds], batch_size=2, seed=1600)
+    ds.close()
+
+
+def test_val_feed_shares_resident_stacks(synth):
+    """The weak-validation feed adopts the training feed's HBM-resident
+    mosaics (resident_from): one upload serves both splits, and the val
+    batches still match the host val feed bit-for-bit."""
+    tr = _ds(synth, split="train")
+    va = _ds(synth, split="val")
+    train_feed = DeviceWeaksupFeed([tr], batch_size=2, seed=1600, prefetch=0)
+    kw = dict(batch_size=1, seed=1600, prefetch=0, augment=False,
+              drop_last=False)
+    dev_val = DeviceWeaksupFeed([va], resident_from=train_feed, **kw)
+    assert dev_val._mos is train_feed._mos  # shared, not re-uploaded
+    host_val = WeaksupFeed([va], **kw)
+    _assert_batches_equal(list(host_val.epoch(0)), list(dev_val.epoch(0)))
+    tr.close(); va.close()
+
+
+def test_resident_donor_mismatch_rejected(synth):
+    tr = _ds(synth)  # NIR on
+    va = _ds(synth, nir=False, split="val")
+    train_feed = DeviceWeaksupFeed([tr], batch_size=2, seed=1600, prefetch=0)
+    with pytest.raises(Ineligible, match="different region/config"):
+        DeviceWeaksupFeed([va], resident_from=train_feed, batch_size=1,
+                          seed=1600, augment=False)
+    tr.close(); va.close()

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from popcorn_tpu.utils.log import MetricsLogger, NumberList, new_log
 from popcorn_tpu.utils.profiling import Stopwatch, device_memory_stats
@@ -96,3 +97,44 @@ def test_train_step_watch_aux():
     assert all(np.isfinite(float(v)) for v in aux["watch"].values())
     # head gradients must be nonzero
     assert any("head" in k and float(v) > 0 for k, v in aux["watch"].items())
+
+
+def test_train_step_remat_matches():
+    """--remat (ModelConfig.remat_unet: jax.checkpoint around each UNet
+    DoubleConv) changes memory, not math: one train step produces the
+    same updated params and loss as the unrematted step. TPU-first
+    replacement for the reference's freeze-above-pixel-limit tiers
+    (run_train.py:190-198)."""
+    import jax
+
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.data.normalize import NormStats
+    from popcorn_tpu.nn.init import init_popcorn
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    tcfg = TrainConfig()
+    rng = np.random.default_rng(2)
+    b, h, w = 1, 64, 64
+    ids = np.ones((b, h, w), np.float32)
+    batch = {
+        "S2": rng.uniform(0, 4000, (b, h, w, 4)).astype(np.float32),
+        "S1": rng.uniform(-25, 0, (b, h, w, 2)).astype(np.float32),
+        "admin_mask": ids,
+        "census_idx": np.ones((b,), np.float32),
+        "y": np.asarray([300.0], np.float32),
+        "photometric": np.asarray([0.0, 1.0, 0.0, 1.0], np.float32),
+    }
+    outs = {}
+    for remat in (False, True):
+        mcfg = ModelConfig(pretrained=False, remat_unet=remat)
+        params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+        optimizer = make_optimizer(tcfg)
+        opt_state = optimizer.init(params)
+        step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+        p1, _, aux = step(params, opt_state, batch, jax.random.PRNGKey(1))
+        outs[remat] = (p1, float(aux["optimization_loss"]))
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves(outs[False][0])
+    flat1 = jax.tree_util.tree_leaves(outs[True][0])
+    for a, b_ in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7)

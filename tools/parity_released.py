@@ -121,6 +121,9 @@ def selftest():
 
 
 def main():
+    from popcorn_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("-r", "--checkpoints", nargs="+",
                     help="released .pth members (m1..m5)")

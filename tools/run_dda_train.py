@@ -25,6 +25,10 @@ def main():
     p.add_argument("--out", default="dda_checkpoint")
     args = p.parse_args()
 
+    from popcorn_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+
     from popcorn_tpu.dda.train import DDAConfig, DDATrainer
     from popcorn_tpu.train.checkpoint import save_checkpoint
 
