@@ -246,6 +246,40 @@ def train_e2e_bench(params0, consts, mcfg):
     return out
 
 
+def _guarded_backend_init(timeout_s: int = 600):
+    """First device query with a hang guard. The remote-tunnel backend
+    can block indefinitely inside a C call at device initialization when
+    the tunnel is degraded (signals don't interrupt it), leaving no
+    benchmark artifact at all — so probe it from a daemon thread and, on
+    timeout, emit the required one-line JSON and exit from the main
+    thread. Returns (backend, devices) on success."""
+    import threading
+
+    import jax
+
+    box = {}
+
+    def _probe():
+        box["backend"] = jax.default_backend()
+        box["devices"] = jax.devices()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(json.dumps({
+            "metric": "ensemble5_2048px_patches_per_sec",
+            "value": 0.0,
+            "unit": "patches/s",
+            "vs_baseline": 0.0,
+            "error": f"accelerator initialization exceeded {timeout_s}s "
+                     "(remote tunnel unreachable)",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+    return box["backend"], box["devices"]
+
+
 def main():
     import jax
 
@@ -260,8 +294,8 @@ def main():
     from popcorn_tpu.infer.sliding import make_patch_forward, stack_ensemble
     from popcorn_tpu.nn.init import init_head, init_popcorn
 
-    backend = jax.default_backend()
-    log(f"backend: {backend}, devices: {jax.devices()}")
+    backend, devices = _guarded_backend_init()
+    log(f"backend: {backend}, devices: {devices}")
     on_tpu = backend == "tpu"
 
     mcfg = ModelConfig(
