@@ -260,20 +260,27 @@ def _guarded_backend_init(timeout_s: int = 600):
     box = {}
 
     def _probe():
-        box["backend"] = jax.default_backend()
-        box["devices"] = jax.devices()
+        try:
+            box["backend"] = jax.default_backend()
+            box["devices"] = jax.devices()
+        except Exception as e:  # init failed fast: report, don't mask
+            box["error"] = f"{type(e).__name__}: {e}"
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
     th.join(timeout_s)
-    if th.is_alive():
+    if th.is_alive() or "error" in box:
+        err = box.get(
+            "error",
+            f"accelerator initialization exceeded {timeout_s}s "
+            "(remote tunnel unreachable)",
+        )
         print(json.dumps({
             "metric": "ensemble5_2048px_patches_per_sec",
             "value": 0.0,
             "unit": "patches/s",
             "vs_baseline": 0.0,
-            "error": f"accelerator initialization exceeded {timeout_s}s "
-                     "(remote tunnel unreachable)",
+            "error": err[:300],
         }))
         sys.stdout.flush()
         os._exit(3)

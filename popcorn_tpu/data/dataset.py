@@ -41,6 +41,23 @@ from ..io.mosaic import MosaicIndex
 Window = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
+ADMIN_OVERLAP = 32  # halo around each census bbox (PopulationDataset.py:404-407)
+
+
+def max_census_window(ds) -> "Tuple[int, int]":
+    """Largest (dx, dy) any of ``ds``'s census rows can request through
+    get_admin_item/get_admin_meta (bbox + ADMIN_OVERLAP halo, clamped to
+    the region) — the padding bound for device-resident feeds
+    (data/device_weaksup.py: dynamic_slice must never clamp)."""
+    h, w = ds.cr_shape
+    dx_max = dy_max = 1
+    for bbox in ds.census["bbox"]:
+        xmin, xmax, ymin, ymax = parse_bbox(bbox)
+        dx_max = max(dx_max, min(xmax + ADMIN_OVERLAP, h) - max(xmin - ADMIN_OVERLAP, 0))
+        dy_max = max(dy_max, min(ymax + ADMIN_OVERLAP, w) - max(ymin - ADMIN_OVERLAP, 0))
+    return dx_max, dy_max
+
+
 def parse_bbox(bbox_str: str) -> Tuple[int, int, int, int]:
     """Parse '(xmin, xmax, ymin, ymax)' / '[...]' census bbox strings
     (reference: PopulationDataset.py:337-346). x is the row axis."""
@@ -380,7 +397,7 @@ class PopulationDataset:
         xmin, xmax, ymin, ymax = parse_bbox(row["bbox"])
         season_idx = int(rng.integers(0, 4)) if self.fourseasons else 0
         descending = bool(rng.integers(0, 2)) if self.asc_aug else True
-        ad_over = 32
+        ad_over = ADMIN_OVERLAP
 
         indata, window = self.generate_raw_data(
             xmin,
@@ -414,7 +431,7 @@ class PopulationDataset:
         xmin, xmax, ymin, ymax = parse_bbox(row["bbox"])
         season_idx = int(rng.integers(0, 4)) if self.fourseasons else 0
         descending = bool(rng.integers(0, 2)) if self.asc_aug else True
-        ad_over = 32
+        ad_over = ADMIN_OVERLAP
         x0 = max(xmin - ad_over, 0)
         y0 = max(ymin - ad_over, 0)
         x1 = min(xmax + ad_over, self.cr_shape[0])

@@ -41,6 +41,38 @@ class Ineligible(Exception):
     """This dataset cannot be served from device-resident mosaics."""
 
 
+def _is_raw_u16_source(src) -> bool:
+    """True when a _RasterSource can serve raw uint16 windows (native
+    uint16 GeoTIFF, not in-memory) — mirrors infer/device_feed.py::
+    _read_raw_u16's eligibility without reading any pixels."""
+    from ..io.geotiff import GeoTIFF
+
+    g = getattr(src, "_g", None)
+    return (
+        getattr(src, "_mem", None) is None
+        and isinstance(g, GeoTIFF)
+        and g.dtype == np.uint16
+    )
+
+
+def _effective_budget(hbm_budget_bytes: float) -> float:
+    """The paper budget capped by what the default device actually has
+    free: 60% of (bytes_limit - bytes_in_use) when the backend reports
+    memory stats (TPUs do; CPU returns None), leaving headroom for
+    params, optimizer state, activations and the stitch accumulators."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        stats = {}
+    limit = stats.get("bytes_limit")
+    if limit:
+        free = limit - stats.get("bytes_in_use", 0)
+        return min(hbm_budget_bytes, 0.6 * free)
+    return hbm_budget_bytes
+
+
 def _season_chw(ds: PopulationDataset, modality: str, season_idx: int):
     """One season's mosaic as (C, H, W) in transport dtype, or raises
     Ineligible on NaNs."""
@@ -59,6 +91,13 @@ def _season_chw(ds: PopulationDataset, modality: str, season_idx: int):
         arr = src.read((1, 2), window)
     if np.isnan(arr).any():
         raise Ineligible(f"{modality} season {season_idx} has NaNs")
+    if modality == "S2":
+        # same lossless-uint16 transport rule as the host feed
+        # (data/feed.py) and infer/device_feed.py::season_arrays — keeps
+        # the dtype parity contract and halves the resident S2 bytes
+        u16 = arr.astype(np.uint16)
+        if np.array_equal(u16, arr):
+            return np.ascontiguousarray(u16)
     return np.ascontiguousarray(arr, np.float32)
 
 
@@ -97,13 +136,9 @@ class DeviceWeaksupFeed(WeaksupFeed):
             return
         # padding: dynamic_slice must never clamp, so pad the resident
         # stacks by the largest bucket this census table can request
-        dx_max = dy_max = 1
-        from .dataset import parse_bbox
+        from .dataset import max_census_window
 
-        for bbox in ds.census["bbox"]:
-            xmin, xmax, ymin, ymax = parse_bbox(bbox)
-            dx_max = max(dx_max, min(xmax + 32, h) - max(xmin - 32, 0))
-            dy_max = max(dy_max, min(ymax + 32, w) - max(ymin - 32, 0))
+        dx_max, dy_max = max_census_window(ds)
         ph = bucket_dim(dx_max, self.ladder)
         pw = bucket_dim(dy_max, self.ladder)
         hp, wp = h + ph, w + pw
@@ -112,16 +147,32 @@ class DeviceWeaksupFeed(WeaksupFeed):
         need = 0
         planes: Dict[str, Tuple[np.dtype, int]] = {}
         if ds.s2:
-            planes["S2"] = (np.uint16, len(seasons) * (4 if ds.nir else 3))
+            # costed as float32 unless every season is raw-uint16-readable:
+            # the lossless-u16 fallback conversion may still land on u16,
+            # but budgeting must never undercount
+            s2_u16 = all(
+                _is_raw_u16_source(ds._source("S2", s, False)) for s in seasons
+            )
+            planes["S2"] = (
+                np.uint16 if s2_u16 else np.float32,
+                len(seasons) * (4 if ds.nir else 3),
+            )
         if ds.s1:
             planes["S1"] = (np.float32, len(seasons) * 2)
+        if ds.viirs:
+            planes["VIIRS"] = (np.float32, 1)
+        if ds._gb_counts is not None:
+            planes["building_counts"] = (np.float32, 1)
+        if ds._gb_seg is not None:
+            planes["building_segmentation"] = (np.float32, 1)
         for k, (dt, nchan) in planes.items():
             need += hp * wp * nchan * np.dtype(dt).itemsize
         need += hp * wp * 4  # boundary
-        if need > hbm_budget_bytes:
+        budget = _effective_budget(hbm_budget_bytes)
+        if need > budget:
             raise Ineligible(
                 f"resident stack needs {need / 1e9:.1f} GB > budget "
-                f"{hbm_budget_bytes / 1e9:.1f} GB"
+                f"{budget / 1e9:.1f} GB"
             )
 
         mos: Dict[str, np.ndarray] = {}
@@ -204,13 +255,9 @@ class DeviceWeaksupFeed(WeaksupFeed):
             raise Ineligible("donor resident stacks cover a different region/config")
         # dynamic_slice must never clamp: this census table's largest
         # window must fit the donor's padding
-        from .dataset import parse_bbox
+        from .dataset import max_census_window
 
-        dx_max = dy_max = 1
-        for bbox in ds.census["bbox"]:
-            xmin, xmax, ymin, ymax = parse_bbox(bbox)
-            dx_max = max(dx_max, min(xmax + 32, h) - max(xmin - 32, 0))
-            dy_max = max(dy_max, min(ymax + 32, w) - max(ymin - 32, 0))
+        dx_max, dy_max = max_census_window(ds)
         if (
             bucket_dim(dx_max, self.ladder) > meta["hp"] - h
             or bucket_dim(dy_max, self.ladder) > meta["wp"] - w

@@ -127,7 +127,13 @@ class Trainer:
         )
         self.feed = None
         dev_feed = getattr(tcfg, "device_feed", "auto")
-        if dev_feed != "off" and tcfg.data_parallel == 1 and not tcfg.multihost:
+        single_proc = tcfg.data_parallel == 1 and not tcfg.multihost
+        if dev_feed == "on" and not single_proc:
+            raise Ineligible(
+                "--device_feed on requires a single-process, non-data-"
+                "parallel run (batch assembly happens on one device)"
+            )
+        if dev_feed != "off" and single_proc:
             # HBM-resident training data plane: mosaics upload once, batch
             # assembly (crop + mask + geometric augs) runs on device —
             # steady-state training moves zero image bytes host->device

@@ -149,3 +149,32 @@ def test_resident_donor_mismatch_rejected(synth):
         DeviceWeaksupFeed([va], resident_from=train_feed, batch_size=1,
                           seed=1600, augment=False)
     tr.close(); va.close()
+
+
+def test_device_feed_parity_in_memory_sources(synth):
+    """in_memory datasets can't serve raw-u16 windows, so the resident S2
+    goes through the float fallback — which must still apply the host
+    feed's lossless-uint16 transport rule (dtype parity)."""
+    ds = _ds(synth, in_memory=True)
+    kw = dict(batch_size=2, seed=1603, prefetch=0)
+    hb = list(WeaksupFeed([ds], **kw).epoch(0))
+    db = list(DeviceWeaksupFeed([ds], **kw).epoch(0))
+    assert np.asarray(hb[0]["S2"]).dtype == np.uint16  # lossless transport
+    _assert_batches_equal(hb, db)
+    ds.close()
+
+
+def test_trainer_device_feed_on_rejects_mesh(synth, tmp_path):
+    """--device_feed on with a data-parallel/multihost config must raise,
+    not silently fall back to the host feed."""
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(pretrained=False)
+    tcfg = TrainConfig(
+        target_regions=("rwa",), target_regions_train=("rwa",),
+        train_level=("coarse",), data_parallel=2, device_feed="on",
+        save_dir=str(tmp_path),
+    )
+    with pytest.raises(Ineligible, match="single-process"):
+        Trainer(synth, mcfg, tcfg, inference_patch=128, inference_overlap=16)
