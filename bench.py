@@ -209,7 +209,11 @@ def train_e2e_bench(params0, consts, mcfg):
             jax.block_until_ready(p)
             return n, time.time() - t0
 
-        n_warm, t_warm = run_epoch(0)  # compiles one executable per bucket
+        # warm up on the SAME epoch that gets timed: the feed is
+        # deterministic per epoch index, so this compiles exactly the
+        # bucket set the timed pass will use (epoch 0's draw can contain
+        # different bucket shapes -> spurious "recompiles after warmup")
+        n_warm, t_warm = run_epoch(1)
         log(f"train e2e [{tag}] warmup epoch: {n_warm} samples in {t_warm:.1f}s")
 
         compile_events = []
@@ -482,7 +486,9 @@ def main():
         except Exception as e:  # keep the ONE-json-line contract
             log(f"full_pipeline bench failed: {type(e).__name__}: {e}")
             result["full_pipeline"] = {"error": str(e)[:200]}
-        # steady-state epoch throughput with the host feed (VERDICT r2 #7)
+        # steady-state epoch throughput, host + device feeds (VERDICT r2 #7)
+        gc.collect()  # drop full_pipeline's device buffers: the resident
+        # train stacks (~6.4 GB on the 9216^2 region) need the headroom
         try:
             result["train_e2e"] = train_e2e_bench(params0, consts, mcfg)
         except Exception as e:
