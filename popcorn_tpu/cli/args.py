@@ -107,12 +107,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("-mwp", "--max_weak_pix", type=int, default=10_000_000)
     p.add_argument("-mpb", "--max_pix_box", type=int, default=12_000_000)
     p.add_argument("--device_feed", choices=("auto", "on", "off"), default="auto",
-                   help="HBM-resident training feed: upload the region's "
-                        "season mosaics to device once and assemble batches "
-                        "on device (zero image bytes host->device per step). "
-                        "auto = when single-region, single-process, NaN-free "
-                        "and within the HBM budget; falls back to the host "
-                        "feed otherwise")
+                   help="HBM-resident training feed: upload the training "
+                        "regions' season mosaics to device once and assemble "
+                        "batches on device (zero image bytes host->device "
+                        "per step). auto = when single-process, NaN-free and "
+                        "within the HBM budget; falls back to the host feed "
+                        "otherwise")
     return p
 
 

@@ -19,9 +19,14 @@ per-batch augmentation draws) and bucket grouping reuse the host feed's
 code paths verbatim (WeaksupFeed hooks); the assembled batches are
 pinned equal to the host feed's in tests/test_device_weaksup.py.
 
-Eligibility: single dataset, NaN-free mosaics (NaN healing is host-side
-data repair, PopulationDataset.py:418-441), no ascending-orbit
-augmentation, and the resident stack must fit ``hbm_budget_bytes``.
+Multi-region training (``-tregtrain reg1 reg2 ...``) concatenates the
+regions' mosaics row-wise into one resident stack — the per-item
+validity mask makes inter-region padding unnecessary (see __init__).
+
+Eligibility: same modality config across regions, NaN-free mosaics (NaN
+healing is host-side data repair, PopulationDataset.py:418-441), no
+ascending-orbit augmentation, and the resident stack must fit
+``hbm_budget_bytes`` (capped by actually-free device memory).
 Construction raises ``Ineligible`` otherwise; the trainer falls back to
 the host feed.
 """
@@ -117,53 +122,73 @@ class DeviceWeaksupFeed(WeaksupFeed):
         super().__init__(datasets, **kw)
         import jax
 
-        if len(self.datasets) != 1:
-            raise Ineligible("device feed supports a single training region")
-        ds = self.datasets[0]
-        if ds.asc_aug:
-            raise Ineligible("ascending-orbit augmentation needs both orbit stacks")
-        if ds.mode != "weaksup":
+        dss = self.datasets
+        if any(d.mode != "weaksup" for d in dss):
             raise Ineligible("weaksup datasets only")
-        self._ds = ds
+        if any(d.asc_aug for d in dss):
+            raise Ineligible("ascending-orbit augmentation needs both orbit stacks")
+        d0 = dss[0]
+        for d in dss[1:]:
+            if (
+                (d.s2, d.s1, d.nir, d.viirs, d.fourseasons)
+                != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons)
+                or (d._gb_counts is None) != (d0._gb_counts is None)
+                or (d._gb_seg is None) != (d0._gb_seg is None)
+            ):
+                raise Ineligible("training regions differ in modality config")
+        self._ds = d0
 
-        h, w = ds.cr_shape
         if resident_from is not None:
             # Share another feed's HBM-resident stacks (the weak-validation
-            # feed over the same region: same mosaic files, different census
-            # split — one upload serves both; reference re-reads every val
-            # crop per validation pass, run_train.py:289-312).
+            # feed over the same region(s): same mosaic files, different
+            # census split — one upload serves both; reference re-reads
+            # every val crop per validation pass, run_train.py:289-312).
             self._adopt_resident(resident_from)
             return
-        # padding: dynamic_slice must never clamp, so pad the resident
-        # stacks by the largest bucket this census table can request
+
+        # Multi-region layout: regions concatenate ROW-WISE with no gap —
+        # a crop's beyond-(dx,dy) pixels are replaced by the validity mask
+        # regardless of what the slice read, so slices that run past a
+        # region's rows (into the next region) or columns (into the width
+        # pad of a narrower region) cannot contaminate the sample. The
+        # only hard requirement is that dynamic_slice never CLAMPS its
+        # start, so a single global tail/right pad of the largest bucket
+        # any census table can request suffices.
         from .dataset import max_census_window
 
-        dx_max, dy_max = max_census_window(ds)
-        ph = bucket_dim(dx_max, self.ladder)
-        pw = bucket_dim(dy_max, self.ladder)
-        hp, wp = h + ph, w + pw
+        wins = [max_census_window(d) for d in dss]
+        ph = bucket_dim(max(x for x, _ in wins), self.ladder)
+        pw = bucket_dim(max(y for _, y in wins), self.ladder)
+        offs: List[int] = []
+        rows = 0
+        for d in dss:
+            offs.append(rows)
+            rows += d.cr_shape[0]
+        width = max(d.cr_shape[1] for d in dss)
+        hp, wp = rows + ph, width + pw
 
-        seasons = list(range(4)) if ds.fourseasons else [0]
+        seasons = list(range(4)) if d0.fourseasons else [0]
         need = 0
         planes: Dict[str, Tuple[np.dtype, int]] = {}
-        if ds.s2:
-            # costed as float32 unless every season is raw-uint16-readable:
-            # the lossless-u16 fallback conversion may still land on u16,
-            # but budgeting must never undercount
+        if d0.s2:
+            # costed as float32 unless every season of every region is
+            # raw-uint16-readable: the lossless-u16 fallback conversion may
+            # still land on u16, but budgeting must never undercount
             s2_u16 = all(
-                _is_raw_u16_source(ds._source("S2", s, False)) for s in seasons
+                _is_raw_u16_source(d._source("S2", s, False))
+                for d in dss for s in seasons
             )
             planes["S2"] = (
                 np.uint16 if s2_u16 else np.float32,
-                len(seasons) * (4 if ds.nir else 3),
+                len(seasons) * (4 if d0.nir else 3),
             )
-        if ds.s1:
+        if d0.s1:
             planes["S1"] = (np.float32, len(seasons) * 2)
-        if ds.viirs:
+        if d0.viirs:
             planes["VIIRS"] = (np.float32, 1)
-        if ds._gb_counts is not None:
+        if d0._gb_counts is not None:
             planes["building_counts"] = (np.float32, 1)
-        if ds._gb_seg is not None:
+        if d0._gb_seg is not None:
             planes["building_segmentation"] = (np.float32, 1)
         for k, (dt, nchan) in planes.items():
             need += hp * wp * nchan * np.dtype(dt).itemsize
@@ -175,98 +200,132 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 f"{budget / 1e9:.1f} GB"
             )
 
-        mos: Dict[str, np.ndarray] = {}
-        if ds.s2:
-            per = [_season_chw(ds, "S2", s) for s in seasons]
-            if any(a.dtype != per[0].dtype for a in per):
-                per = [a.astype(np.float32) for a in per]
-            stack = np.zeros((len(per), per[0].shape[0], hp, wp), per[0].dtype)
-            for i, a in enumerate(per):
-                stack[i, :, :h, :w] = a
-            mos["S2"] = stack
-        if ds.s1:
-            per = [_season_chw(ds, "S1", s) for s in seasons]
-            stack = np.zeros((len(per), 2, hp, wp), np.float32)
-            for i, a in enumerate(per):
-                stack[i, :, :h, :w] = a
-            mos["S1"] = stack
-        if ds.viirs:
-            arr = ds._source("viirs", 0, False).read((1,), ((0, h), (0, w)))
-            stat = np.zeros((1, hp, wp), np.float32)
-            stat[:, :h, :w] = arr
-            mos["VIIRS"] = stat
-        if ds._gb_counts is not None:
-            arr = ds._gb_counts.read(1, window=((0, h), (0, w)))
-            stat = np.zeros((1, hp, wp), np.float32)
-            stat[:, :h, :w] = arr
-            mos["building_counts"] = stat
-        if ds._gb_seg is not None:
-            arr = ds._gb_seg.read(1, window=((0, h), (0, w)))
-            stat = np.zeros((1, hp, wp), np.float32)
-            stat[:, :h, :w] = arr
-            mos["building_segmentation"] = stat
+        def _blocks(read_one, nchan, dtype_from_parts=False):
+            """(seasons, C, hp, wp) stack with each region's rows at its
+            offset; dtype unions to float32 unless every part agrees."""
+            parts = {
+                (di, s): read_one(d, s)
+                for di, d in enumerate(dss) for s in seasons
+            }
+            dt = np.float32
+            if dtype_from_parts and all(
+                a.dtype == np.uint16 for a in parts.values()
+            ):
+                dt = np.uint16
+            stack = np.zeros((len(seasons), nchan, hp, wp), dt)
+            for (di, s), a in parts.items():
+                h_d, w_d = dss[di].cr_shape
+                stack[s, :, offs[di]:offs[di] + h_d, :w_d] = a
+            return stack
 
-        bnd = ds._boundary(ds.train_level).read(1, window=((0, h), (0, w)))[0]
+        mos: Dict[str, np.ndarray] = {}
+        if d0.s2:
+            mos["S2"] = _blocks(
+                lambda d, s: _season_chw(d, "S2", s),
+                4 if d0.nir else 3, dtype_from_parts=True,
+            )
+        if d0.s1:
+            mos["S1"] = _blocks(lambda d, s: _season_chw(d, "S1", s), 2)
+
+        def _static(read_one):
+            stat = np.zeros((1, hp, wp), np.float32)
+            for di, d in enumerate(dss):
+                h_d, w_d = d.cr_shape
+                stat[0, offs[di]:offs[di] + h_d, :w_d] = read_one(d)
+            return stat
+
+        if d0.viirs:
+            mos["VIIRS"] = _static(
+                lambda d: d._source("viirs", 0, False).read(
+                    (1,), ((0, d.cr_shape[0]), (0, d.cr_shape[1]))
+                )[0]
+            )
+        if d0._gb_counts is not None:
+            mos["building_counts"] = _static(
+                lambda d: d._gb_counts.read(
+                    1, window=((0, d.cr_shape[0]), (0, d.cr_shape[1]))
+                )[0]
+            )
+        if d0._gb_seg is not None:
+            mos["building_segmentation"] = _static(
+                lambda d: d._gb_seg.read(
+                    1, window=((0, d.cr_shape[0]), (0, d.cr_shape[1]))
+                )[0]
+            )
+
         bnd_p = np.full((hp, wp), -1.0, np.float32)
-        bnd_p[:h, :w] = bnd
+        for di, d in enumerate(dss):
+            h_d, w_d = d.cr_shape
+            bnd_p[offs[di]:offs[di] + h_d, :w_d] = d._boundary(
+                d.train_level
+            ).read(1, window=((0, h_d), (0, w_d)))[0]
 
         self._seasonal = {"S2", "S1"}
         self._mos = {k: jax.device_put(v) for k, v in mos.items()}
         self._bnd = jax.device_put(bnd_p)
         self._asm_cache: Dict[Tuple, object] = {}
+        self._x_off = list(offs)
         self._resident_meta = {
-            "region": ds.region, "train_level": ds.train_level,
-            "cr_shape": (h, w), "hp": hp, "wp": wp,
-            "s2": ds.s2, "s1": ds.s1, "nir": ds.nir,
-            "fourseasons": ds.fourseasons, "keys": frozenset(self._mos),
+            "regions": tuple(
+                (d.region, d.train_level, d.cr_shape, off)
+                for d, off in zip(dss, offs)
+            ),
+            "rows_total": rows, "hp": hp, "wp": wp,
+            "s2": d0.s2, "s1": d0.s1, "nir": d0.nir,
+            "fourseasons": d0.fourseasons, "keys": frozenset(self._mos),
         }
 
     def _adopt_resident(self, donor: "DeviceWeaksupFeed") -> None:
         """Reuse ``donor``'s HBM-resident stacks for this feed's census
-        table. Valid only when both feeds window the same mosaic files
+        tables. Valid only when both feeds window the same mosaic files
         the same way; raises Ineligible otherwise (caller falls back to
         the host feed)."""
-        ds = self._ds
         meta = getattr(donor, "_resident_meta", None)
         if meta is None:
             raise Ineligible("donor feed carries no resident stacks")
-        h, w = ds.cr_shape
+        d0 = self._ds
         want_keys = set()
-        if ds.s2:
+        if d0.s2:
             want_keys.add("S2")
-        if ds.s1:
+        if d0.s1:
             want_keys.add("S1")
-        if ds.viirs:
+        if d0.viirs:
             want_keys.add("VIIRS")
-        if ds._gb_counts is not None:
+        if d0._gb_counts is not None:
             want_keys.add("building_counts")
-        if ds._gb_seg is not None:
+        if d0._gb_seg is not None:
             want_keys.add("building_segmentation")
-        same = (
-            meta["region"] == ds.region
-            and meta["train_level"] == ds.train_level
-            and meta["cr_shape"] == (h, w)
-            and meta["s2"] == ds.s2 and meta["s1"] == ds.s1
-            and meta["nir"] == ds.nir
-            and meta["fourseasons"] == ds.fourseasons
+        if not (
+            meta["s2"] == d0.s2 and meta["s1"] == d0.s1
+            and meta["nir"] == d0.nir
+            and meta["fourseasons"] == d0.fourseasons
             and meta["keys"] == want_keys
-        )
-        if not same:
+        ):
             raise Ineligible("donor resident stacks cover a different region/config")
-        # dynamic_slice must never clamp: this census table's largest
-        # window must fit the donor's padding
         from .dataset import max_census_window
 
-        dx_max, dy_max = max_census_window(ds)
-        if (
-            bucket_dim(dx_max, self.ladder) > meta["hp"] - h
-            or bucket_dim(dy_max, self.ladder) > meta["wp"] - w
-        ):
-            raise Ineligible("donor resident padding too small for this census")
+        by_region = {
+            (reg, lvl, shape): off for reg, lvl, shape, off in meta["regions"]
+        }
+        x_off = []
+        for d in self.datasets:
+            key = (d.region, d.train_level, d.cr_shape)
+            if key not in by_region:
+                raise Ineligible("donor resident stacks cover a different region/config")
+            # dynamic_slice must never clamp: this census table's largest
+            # window must fit the donor's global tail/right padding
+            dx_max, dy_max = max_census_window(d)
+            if (
+                bucket_dim(dx_max, self.ladder) > meta["hp"] - meta["rows_total"]
+                or bucket_dim(dy_max, self.ladder) > meta["wp"] - d.cr_shape[1]
+            ):
+                raise Ineligible("donor resident padding too small for this census")
+            x_off.append(by_region[key])
         self._seasonal = donor._seasonal
         self._mos = donor._mos
         self._bnd = donor._bnd
         self._asm_cache = donor._asm_cache  # same arrays -> same executables
+        self._x_off = x_off
         self._resident_meta = meta
 
     # ---- WeaksupFeed hooks --------------------------------------------------
@@ -275,7 +334,12 @@ class DeviceWeaksupFeed(WeaksupFeed):
         from .feed import _item_rng
 
         d, i = self.index[j]
-        return self.datasets[d].get_admin_meta(i, _item_rng(self.seed, epoch, j))
+        meta = self.datasets[d].get_admin_meta(i, _item_rng(self.seed, epoch, j))
+        off = self._x_off[d]
+        if off:
+            # region d's rows live at this offset in the concatenated stack
+            meta = dict(meta, x0=meta["x0"] + off)
+        return meta
 
     def _item_hw(self, item: Dict) -> Tuple[int, int]:
         return item["dx"], item["dy"]

@@ -178,3 +178,48 @@ def test_trainer_device_feed_on_rejects_mesh(synth, tmp_path):
     )
     with pytest.raises(Ineligible, match="single-process"):
         Trainer(synth, mcfg, tcfg, inference_patch=128, inference_overlap=16)
+
+
+def test_multi_region_parity(synth, tmp_path_factory):
+    """-tregtrain with two regions of different shapes: the device feed
+    concatenates both regions' mosaics row-wise into one resident stack
+    and still matches the host ConcatDataset feed bit-for-bit (items
+    from different regions share batches when their buckets agree)."""
+    root2 = str(tmp_path_factory.mktemp("devweak_data2"))
+    synth2 = make_synthetic_region(root2, "uga", height=256, width=320, seed=13)
+    ds1 = _ds(synth)
+    ds2 = PopulationDataset(
+        synth2, "uga", mode="weaksup", train_level="coarse",
+        fourseasons=True, patchsize=None, overlap=None,
+    )
+    kw = dict(batch_size=2, seed=1604, prefetch=0)
+    host = WeaksupFeed([ds1, ds2], **kw)
+    dev = DeviceWeaksupFeed([ds1, ds2], **kw)
+    for epoch in (0, 1):
+        _assert_batches_equal(list(host.epoch(epoch)), list(dev.epoch(epoch)))
+    # val split of region 2 adopts the two-region donor stacks
+    va = PopulationDataset(
+        synth2, "uga", mode="weaksup", split="val", train_level="coarse",
+        fourseasons=True, patchsize=None, overlap=None,
+    )
+    vkw = dict(batch_size=1, seed=1604, prefetch=0, augment=False,
+               drop_last=False)
+    dev_val = DeviceWeaksupFeed([va], resident_from=dev, **vkw)
+    assert dev_val._mos is dev._mos
+    _assert_batches_equal(
+        list(WeaksupFeed([va], **vkw).epoch(0)), list(dev_val.epoch(0))
+    )
+    ds1.close(); ds2.close(); va.close()
+
+
+def test_multi_region_modality_mismatch_rejected(synth, tmp_path_factory):
+    root2 = str(tmp_path_factory.mktemp("devweak_data3"))
+    synth2 = make_synthetic_region(root2, "uga", height=128, width=128, seed=14)
+    ds1 = _ds(synth)
+    ds2 = PopulationDataset(
+        synth2, "uga", mode="weaksup", train_level="coarse", nir=False,
+        fourseasons=True, patchsize=None, overlap=None,
+    )
+    with pytest.raises(Ineligible, match="modality config"):
+        DeviceWeaksupFeed([ds1, ds2], batch_size=2, seed=1600)
+    ds1.close(); ds2.close()
