@@ -23,12 +23,15 @@ Multi-region training (``-tregtrain reg1 reg2 ...``) concatenates the
 regions' mosaics row-wise into one resident stack — the per-item
 validity mask makes inter-region padding unnecessary (see __init__).
 
+Ascending-orbit augmentation (``-ascAug``) keeps BOTH S1 orbit stacks
+resident (leading dim interleaves season and orbit); the per-item orbit
+draw selects the slice on device.
+
 Eligibility: same modality config across regions, NaN-free mosaics (NaN
-healing is host-side data repair, PopulationDataset.py:418-441), no
-ascending-orbit augmentation, and the resident stack must fit
-``hbm_budget_bytes`` (capped by actually-free device memory).
-Construction raises ``Ineligible`` otherwise; the trainer falls back to
-the host feed.
+healing is host-side data repair, PopulationDataset.py:418-441), and the
+resident stack must fit ``hbm_budget_bytes`` (capped by actually-free
+device memory). Construction raises ``Ineligible`` otherwise; the
+trainer falls back to the host feed.
 """
 
 from __future__ import annotations
@@ -78,14 +81,16 @@ def _effective_budget(hbm_budget_bytes: float) -> float:
     return hbm_budget_bytes
 
 
-def _season_chw(ds: PopulationDataset, modality: str, season_idx: int):
+def _season_chw(
+    ds: PopulationDataset, modality: str, season_idx: int, asc: bool = False
+):
     """One season's mosaic as (C, H, W) in transport dtype, or raises
     Ineligible on NaNs."""
     from ..infer.device_feed import _read_raw_u16
 
     h, w = ds.cr_shape
     window = ((0, h), (0, w))
-    src = ds._source(modality, season_idx, False)
+    src = ds._source(modality, season_idx, asc)
     if modality == "S2":
         bands = (3, 2, 1, 4) if ds.nir else (3, 2, 1)
         arr = _read_raw_u16(src, bands, window)
@@ -125,13 +130,11 @@ class DeviceWeaksupFeed(WeaksupFeed):
         dss = self.datasets
         if any(d.mode != "weaksup" for d in dss):
             raise Ineligible("weaksup datasets only")
-        if any(d.asc_aug for d in dss):
-            raise Ineligible("ascending-orbit augmentation needs both orbit stacks")
         d0 = dss[0]
         for d in dss[1:]:
             if (
-                (d.s2, d.s1, d.nir, d.viirs, d.fourseasons)
-                != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons)
+                (d.s2, d.s1, d.nir, d.viirs, d.fourseasons, d.asc_aug)
+                != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons, d0.asc_aug)
                 or (d._gb_counts is None) != (d0._gb_counts is None)
                 or (d._gb_seg is None) != (d0._gb_seg is None)
             ):
@@ -182,8 +185,9 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 np.uint16 if s2_u16 else np.float32,
                 len(seasons) * (4 if d0.nir else 3),
             )
+        n_orb = 2 if d0.asc_aug else 1  # -ascAug: both orbit stacks resident
         if d0.s1:
-            planes["S1"] = (np.float32, len(seasons) * 2)
+            planes["S1"] = (np.float32, len(seasons) * n_orb * 2)
         if d0.viirs:
             planes["VIIRS"] = (np.float32, 1)
         if d0._gb_counts is not None:
@@ -200,32 +204,39 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 f"{budget / 1e9:.1f} GB"
             )
 
-        def _blocks(read_one, nchan, dtype_from_parts=False):
-            """(seasons, C, hp, wp) stack with each region's rows at its
+        def _blocks(read_one, nchan, idxs, dtype_from_parts=False):
+            """(len(idxs), C, hp, wp) stack with each region's rows at its
             offset; dtype unions to float32 unless every part agrees."""
             parts = {
-                (di, s): read_one(d, s)
-                for di, d in enumerate(dss) for s in seasons
+                (di, i): read_one(d, i)
+                for di, d in enumerate(dss) for i in range(len(idxs))
             }
             dt = np.float32
             if dtype_from_parts and all(
                 a.dtype == np.uint16 for a in parts.values()
             ):
                 dt = np.uint16
-            stack = np.zeros((len(seasons), nchan, hp, wp), dt)
-            for (di, s), a in parts.items():
+            stack = np.zeros((len(idxs), nchan, hp, wp), dt)
+            for (di, i), a in parts.items():
                 h_d, w_d = dss[di].cr_shape
-                stack[s, :, offs[di]:offs[di] + h_d, :w_d] = a
+                stack[i, :, offs[di]:offs[di] + h_d, :w_d] = a
             return stack
 
         mos: Dict[str, np.ndarray] = {}
         if d0.s2:
             mos["S2"] = _blocks(
                 lambda d, s: _season_chw(d, "S2", s),
-                4 if d0.nir else 3, dtype_from_parts=True,
+                4 if d0.nir else 3, seasons, dtype_from_parts=True,
             )
         if d0.s1:
-            mos["S1"] = _blocks(lambda d, s: _season_chw(d, "S1", s), 2)
+            # leading dim interleaves orbits: index = season * n_orb + orb
+            # (orb 0 = descending, 1 = ascending), matching one()'s lookup
+            mos["S1"] = _blocks(
+                lambda d, i: _season_chw(
+                    d, "S1", i // n_orb, asc=bool(i % n_orb)
+                ),
+                2, [s * n_orb + o for s in seasons for o in range(n_orb)],
+            )
 
         def _static(read_one):
             stat = np.zeros((1, hp, wp), np.float32)
@@ -265,6 +276,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
         self._bnd = jax.device_put(bnd_p)
         self._asm_cache: Dict[Tuple, object] = {}
         self._x_off = list(offs)
+        self._s1_orb = n_orb
         self._resident_meta = {
             "regions": tuple(
                 (d.region, d.train_level, d.cr_shape, off)
@@ -272,7 +284,8 @@ class DeviceWeaksupFeed(WeaksupFeed):
             ),
             "rows_total": rows, "hp": hp, "wp": wp,
             "s2": d0.s2, "s1": d0.s1, "nir": d0.nir,
-            "fourseasons": d0.fourseasons, "keys": frozenset(self._mos),
+            "fourseasons": d0.fourseasons, "s1_orbits": n_orb,
+            "keys": frozenset(self._mos),
         }
 
     def _adopt_resident(self, donor: "DeviceWeaksupFeed") -> None:
@@ -326,6 +339,12 @@ class DeviceWeaksupFeed(WeaksupFeed):
         self._bnd = donor._bnd
         self._asm_cache = donor._asm_cache  # same arrays -> same executables
         self._x_off = x_off
+        # a non-ascAug adoptee reads orb=0 (descending) slots of an
+        # orbit-interleaved donor stack correctly; the reverse (ascAug
+        # adoptee, single-orbit donor) has no asc data to read
+        if d0.asc_aug and meta["s1_orbits"] == 1 and d0.s1:
+            raise Ineligible("donor stacks carry no ascending-orbit data")
+        self._s1_orb = meta["s1_orbits"]
         self._resident_meta = meta
 
     # ---- WeaksupFeed hooks --------------------------------------------------
@@ -357,17 +376,19 @@ class DeviceWeaksupFeed(WeaksupFeed):
         mos = self._mos
         bnd = self._bnd
         seasonal = self._seasonal
+        s1_orb = self._s1_orb  # 2 with -ascAug (desc/asc interleaved), else 1
 
-        def one(x0, y0, dx, dy, season):
+        def one(x0, y0, dx, dy, season, orb):
             ri = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
             valid = (ri < dx) & (ci < dy)
             item = {}
             for k, a in mos.items():
                 if k in seasonal:
+                    idx = season * s1_orb + orb if k == "S1" else season
                     c = a.shape[1]
                     sl = jax.lax.dynamic_slice(
-                        a, (season, 0, x0, y0), (1, c, bh, bw)
+                        a, (idx, 0, x0, y0), (1, c, bh, bw)
                     )[0]
                 else:
                     sl = jax.lax.dynamic_slice(a, (0, x0, y0), (a.shape[0], bh, bw))
@@ -398,8 +419,8 @@ class DeviceWeaksupFeed(WeaksupFeed):
             return a
 
         @jax.jit
-        def asm(x0, y0, dx, dy, season, vf, hf, rk):
-            items = jax.vmap(one)(x0, y0, dx, dy, season)
+        def asm(x0, y0, dx, dy, season, orb, vf, hf, rk):
+            items = jax.vmap(one)(x0, y0, dx, dy, season, orb)
             return {k: geo(v, vf, hf, rk) for k, v in items.items()}
 
         self._asm_cache[key] = asm
@@ -423,9 +444,12 @@ class DeviceWeaksupFeed(WeaksupFeed):
             k: np.asarray([it[k] for it in items], np.int32)
             for k in ("x0", "y0", "dx", "dy", "season")
         }
+        orb = np.asarray(
+            [0 if it["descending"] else 1 for it in items], np.int32
+        )
         dev = asm(
             arrs["x0"], arrs["y0"], arrs["dx"], arrs["dy"], arrs["season"],
-            np.bool_(vf), np.bool_(hf), np.int32(rk),
+            orb, np.bool_(vf), np.bool_(hf), np.int32(rk),
         )
         batch: Dict = dict(dev)
         # -binp/-sinp segmentation policy (reference utils/utils.py:153-159)

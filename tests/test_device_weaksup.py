@@ -118,11 +118,46 @@ def test_ineligible_nan_mosaic(tmp_path):
     ds.close()
 
 
-def test_ineligible_asc_aug(synth):
-    ds = _ds(synth, asc_aug=True)
-    with pytest.raises(Ineligible, match="ascending"):
-        DeviceWeaksupFeed([ds], batch_size=2, seed=1600)
+def test_asc_aug_parity(tmp_path_factory):
+    """-ascAug: both S1 orbit stacks resident, per-item orbit draw
+    selects the slice on device — bit-equal to the host feed's
+    asc/desc reads across epochs."""
+    root = str(tmp_path_factory.mktemp("devweak_asc"))
+    paths = make_synthetic_region(
+        root, "rwa", height=256, width=320, seed=17, with_ascending=True
+    )
+    # the synthetic generator writes identical asc/desc content; offset the
+    # ascending mosaics so a wrong orbit selection cannot pass unnoticed
+    from popcorn_tpu.config import SEASONS
+    from popcorn_tpu.io.geotiff import GeoTIFF, write_geotiff
+
+    for season in SEASONS:
+        p = paths.modality_path("rwa", "S1", season, asc=True)
+        with GeoTIFF(p) as g:
+            arr, tr = g.read((1, 2)), g.transform
+        write_geotiff(p, arr + 3.5, transform=(tr[0], tr[1], tr[3], tr[5]),
+                      nodata=float("nan"))
+    ds = PopulationDataset(
+        paths, "rwa", mode="weaksup", train_level="coarse", asc_aug=True,
+        fourseasons=True, patchsize=None, overlap=None,
+    )
+    kw = dict(batch_size=2, seed=1605, prefetch=0)
+    host = WeaksupFeed([ds], **kw)
+    dev = DeviceWeaksupFeed([ds], **kw)
+    for epoch in (0, 1, 2):
+        _assert_batches_equal(list(host.epoch(epoch)), list(dev.epoch(epoch)))
     ds.close()
+
+
+def test_asc_aug_adoptee_needs_asc_donor(synth):
+    """An ascAug val feed cannot adopt a descending-only donor stack."""
+    tr = _ds(synth)
+    va = _ds(synth, asc_aug=True, split="val")
+    donor = DeviceWeaksupFeed([tr], batch_size=2, seed=1600, prefetch=0)
+    with pytest.raises(Ineligible, match="ascending"):
+        DeviceWeaksupFeed([va], resident_from=donor, batch_size=1,
+                          seed=1600, augment=False)
+    tr.close(); va.close()
 
 
 def test_val_feed_shares_resident_stacks(synth):
