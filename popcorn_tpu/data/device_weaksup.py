@@ -27,11 +27,17 @@ Ascending-orbit augmentation (``-ascAug``) keeps BOTH S1 orbit stacks
 resident (leading dim interleaves season and orbit); the per-item orbit
 draw selects the slice on device.
 
-Eligibility: same modality config across regions, NaN-free mosaics (NaN
-healing is host-side data repair, PopulationDataset.py:418-441), and the
-resident stack must fit ``hbm_budget_bytes`` (capped by actually-free
-device memory). Construction raises ``Ineligible`` otherwise; the
-trainer falls back to the host feed.
+NaN-bearing mosaics run HYBRID: a tile-level summed-area table answers
+"does this window overlap NaN data" in O(1); such items take the
+reference's host healing path (interpolate / ascending refetch,
+PopulationDataset.py:418-441) and are spliced into the assembled device
+batch, everything else stays device-resident — still bit-equal to the
+host feed.
+
+Eligibility: same modality config across regions and the resident stack
+must fit ``hbm_budget_bytes`` (capped by actually-free device memory).
+Construction raises ``Ineligible`` otherwise; the trainer falls back to
+the host feed.
 """
 
 from __future__ import annotations
@@ -99,16 +105,44 @@ def _season_chw(
         arr = src.read(bands, window)
     else:  # S1
         arr = src.read((1, 2), window)
-    if np.isnan(arr).any():
-        raise Ineligible(f"{modality} season {season_idx} has NaNs")
-    if modality == "S2":
+    if modality == "S2" and not np.isnan(arr).any():
         # same lossless-uint16 transport rule as the host feed
         # (data/feed.py) and infer/device_feed.py::season_arrays — keeps
-        # the dtype parity contract and halves the resident S2 bytes
+        # the dtype parity contract and halves the resident S2 bytes.
+        # NaN-bearing mosaics stay float32; items whose windows touch the
+        # NaNs take the host healing path (_fetch_item).
         u16 = arr.astype(np.uint16)
         if np.array_equal(u16, arr):
             return np.ascontiguousarray(u16)
     return np.ascontiguousarray(arr, np.float32)
+
+
+_NAN_TILE = 32  # granularity of the window-has-NaN query (conservative)
+
+
+def _tile_integral(mask: np.ndarray, tile: int = _NAN_TILE) -> np.ndarray:
+    """Summed-area table over ``tile``-sized blocks of a 2-D bool mask:
+    O(1) conservative "does this window overlap any True pixel" queries
+    at 1/tile^2 the memory of a pixel-level integral image."""
+    h, w = mask.shape
+    th, tw = -(-h // tile), -(-w // tile)
+    pad = np.zeros((th * tile, tw * tile), bool)
+    pad[:h, :w] = mask
+    t = pad.reshape(th, tile, tw, tile).any(axis=(1, 3))
+    integ = np.zeros((th + 1, tw + 1), np.int32)
+    integ[1:, 1:] = np.cumsum(np.cumsum(t, 0), 1)
+    return integ
+
+
+def _window_has_nan(
+    integ: np.ndarray, x0: int, y0: int, dx: int, dy: int,
+    tile: int = _NAN_TILE,
+) -> bool:
+    t0, u0 = x0 // tile, y0 // tile
+    t1 = min((x0 + dx - 1) // tile + 1, integ.shape[0] - 1)
+    u1 = min((y0 + dy - 1) // tile + 1, integ.shape[1] - 1)
+    s = integ[t1, u1] - integ[t0, u1] - integ[t1, u0] + integ[t0, u0]
+    return bool(s)
 
 
 class DeviceWeaksupFeed(WeaksupFeed):
@@ -271,6 +305,22 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 d.train_level
             ).read(1, window=((0, h_d), (0, w_d)))[0]
 
+        # window-has-NaN query tables (tile-level, conservative): items
+        # whose drawn windows overlap a NaN tile take the host healing
+        # path; everything else assembles from the (NaN-bearing) resident
+        # stacks, whose NaNs then sit only in masked/overwritten areas
+        self._nan_q: Dict[str, list] = {}
+        for k, a in mos.items():
+            if a.dtype == np.uint16:
+                continue  # uint16 cannot hold NaN
+            per = a if a.ndim == 4 else a[None]
+            qs = []
+            for i in range(per.shape[0]):
+                nan2d = np.isnan(per[i]).any(axis=0)
+                qs.append(_tile_integral(nan2d) if nan2d.any() else None)
+            if any(q is not None for q in qs):
+                self._nan_q[k] = qs
+
         self._seasonal = {"S2", "S1"}
         self._mos = {k: jax.device_put(v) for k, v in mos.items()}
         self._bnd = jax.device_put(bnd_p)
@@ -345,6 +395,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
         if d0.asc_aug and meta["s1_orbits"] == 1 and d0.s1:
             raise Ineligible("donor stacks carry no ascending-orbit data")
         self._s1_orb = meta["s1_orbits"]
+        self._nan_q = donor._nan_q
         self._resident_meta = meta
 
     # ---- WeaksupFeed hooks --------------------------------------------------
@@ -358,10 +409,39 @@ class DeviceWeaksupFeed(WeaksupFeed):
         if off:
             # region d's rows live at this offset in the concatenated stack
             meta = dict(meta, x0=meta["x0"] + off)
+        if self._nan_q and self._window_needs_healing(meta):
+            # the drawn window overlaps NaN data: take the reference's
+            # host healing path (PopulationDataset.py:418-441) for this
+            # item; _item_rng is a fresh per-item generator, so the item
+            # draws exactly the same season/orbit as the meta did
+            try:
+                return self.datasets[d].get_admin_item(
+                    i, _item_rng(self.seed, epoch, j)
+                )
+            except ValueError:
+                return None  # unhealable ("No data here!"), skip
         return meta
 
+    def _window_needs_healing(self, meta: Dict) -> bool:
+        x0, y0, dx, dy = meta["x0"], meta["y0"], meta["dx"], meta["dy"]
+        season = meta["season"]
+        orb = 0 if meta["descending"] else 1
+        for k, qs in self._nan_q.items():
+            if k == "S1":
+                idx = season * self._s1_orb + orb
+            elif k == "S2":
+                idx = season
+            else:
+                idx = 0
+            q = qs[idx] if idx < len(qs) else None
+            if q is not None and _window_has_nan(q, x0, y0, dx, dy):
+                return True
+        return False
+
     def _item_hw(self, item: Dict) -> Tuple[int, int]:
-        return item["dx"], item["dy"]
+        if "dx" in item:
+            return item["dx"], item["dy"]
+        return item["admin_mask"].shape  # host-healed item
 
     # ---- device assembly ----------------------------------------------------
 
@@ -429,29 +509,42 @@ class DeviceWeaksupFeed(WeaksupFeed):
     def _make_batch(self, items: List[Dict], rng: np.random.Generator) -> Dict:
         import jax.numpy as jnp
 
-        h = max(it["dx"] for it in items)
-        w = max(it["dy"] for it in items)
+        hosts = [i for i, it in enumerate(items) if "dx" not in it]
+        if len(hosts) == len(items):
+            # every member took the healing path: assemble exactly like
+            # the host feed (same rng draw order -> bit-identical batch)
+            return WeaksupFeed._make_batch(self, items, rng)
+
+        dims = [self._item_hw(it) for it in items]
+        h = max(d[0] for d in dims)
+        w = max(d[1] for d in dims)
         bh, bw = bucket_dim(h, self.ladder), bucket_dim(w, self.ladder)
 
         if self.augment:
             g = draw_general(rng)
             vf, hf, rk = g.vflip, g.hflip, g.rot_k
         else:
+            g = None
             vf = hf = False
             rk = 0
         asm = self._assemble_fn(bh, bw, rk % 2 == 1, len(items))
-        arrs = {
-            k: np.asarray([it[k] for it in items], np.int32)
-            for k in ("x0", "y0", "dx", "dy", "season")
-        }
+
+        def _m(key):
+            # host-healed items ride along with empty device crops (their
+            # slots are overwritten below)
+            return np.asarray([it.get(key, 0) for it in items], np.int32)
+
         orb = np.asarray(
-            [0 if it["descending"] else 1 for it in items], np.int32
+            [0 if it.get("descending", True) else 1 for it in items], np.int32
         )
         dev = asm(
-            arrs["x0"], arrs["y0"], arrs["dx"], arrs["dy"], arrs["season"],
+            _m("x0"), _m("y0"), _m("dx"), _m("dy"), _m("season"),
             orb, np.bool_(vf), np.bool_(hf), np.int32(rk),
         )
         batch: Dict = dict(dev)
+
+        if hosts:
+            batch = self._splice_host_items(batch, items, hosts, bh, bw, g)
         # -binp/-sinp segmentation policy (reference utils/utils.py:153-159)
         if self.building_input and self.segmentation_input:
             if "building_segmentation" not in batch and "building_counts" in batch:
@@ -469,6 +562,45 @@ class DeviceWeaksupFeed(WeaksupFeed):
             [it["census_idx"] for it in items], np.float32
         )
         batch["season"] = np.asarray([it["season"] for it in items], np.int32)
+        return self._finish_batch(batch, rng)
+
+    def _splice_host_items(self, batch, items, hosts, bh, bw, g):
+        """Overwrite host-healed items' slots in the assembled device
+        batch: pad to the bucket, apply the SAME geometric draw host-side
+        (index permutations — bitwise identical to the on-device geo),
+        and match the host feed's per-batch S2 transport dtype (healed
+        values are fractional, so such batches ship float32)."""
+        import jax.numpy as jnp
+
+        from ..aug.augment import apply_geometric
+        from .feed import pad_item_to
+
+        if "S2" in batch and batch["S2"].dtype == jnp.uint16:
+            for i in hosts:
+                a = items[i].get("S2")
+                if a is not None and not np.array_equal(
+                    a.astype(np.uint16), a
+                ):
+                    batch["S2"] = batch["S2"].astype(jnp.float32)
+                    break
+        s2_u16 = "S2" in batch and batch["S2"].dtype == jnp.uint16
+        for i in hosts:
+            it = pad_item_to(items[i], bh, bw)
+            for k in list(batch):
+                if k not in it:
+                    continue
+                a = it[k]
+                if k == "S2" and s2_u16:
+                    a = a.astype(np.uint16)
+                if g is not None:
+                    a = np.ascontiguousarray(apply_geometric(a, g, hw_axes=(0, 1)))
+                tgt = batch[k]
+                if tgt.ndim == a.ndim + 1 and tgt.shape[-1] == 1:
+                    a = a[..., None]
+                batch[k] = tgt.at[i].set(a)
+        return batch
+
+    def _finish_batch(self, batch, rng):
         if self.augment:
             p = draw_photometric(rng)
             batch["photometric"] = np.asarray(

@@ -108,13 +108,40 @@ def test_ineligible_budget(synth):
     ds.close()
 
 
-def test_ineligible_nan_mosaic(tmp_path):
+def test_nan_hybrid_parity(tmp_path):
+    """NaN-bearing mosaics: items whose drawn window overlaps a NaN tile
+    take the reference healing path on host and are spliced into the
+    device batch; everything else stays device-resident. Still bit-equal
+    to the host feed (which heals every such item identically)."""
     paths = make_synthetic_region(
-        str(tmp_path), "rwa", height=256, width=256, seed=9, nan_fraction=0.01
+        str(tmp_path), "rwa", height=256, width=320, seed=9,
+        with_ascending=True,  # healing may refetch the ascending orbit
     )
+    # localized NaNs: only windows overlapping the top-left corner of the
+    # winter S1 mosaic need healing -> batches MIX device and host items
+    from popcorn_tpu.io.geotiff import GeoTIFF, write_geotiff
+
+    p = paths.modality_path("rwa", "S1", "winter", asc=False)
+    with GeoTIFF(p) as gtf:
+        arr, tr = gtf.read((1, 2)), gtf.transform
+    arr[:, :24, :24] = np.nan
+    write_geotiff(p, arr, transform=(tr[0], tr[1], tr[3], tr[5]),
+                  nodata=float("nan"))
+
     ds = _ds(paths)
-    with pytest.raises(Ineligible):
-        DeviceWeaksupFeed([ds], batch_size=2, seed=1600)
+    kw = dict(batch_size=2, seed=1606, prefetch=0)
+    host = WeaksupFeed([ds], **kw)
+    dev = DeviceWeaksupFeed([ds], **kw)
+    assert dev._nan_q  # the NaN query tables engaged
+    kinds = {True: 0, False: 0}
+    for epoch in (0, 1, 2):
+        for j in range(len(dev.index)):
+            it = dev._fetch_item(j, epoch)
+            if it is not None:
+                kinds["dx" in it] += 1
+    assert kinds[True] > 0 and kinds[False] > 0  # both paths exercised
+    for epoch in (0, 1, 2):
+        _assert_batches_equal(list(host.epoch(epoch)), list(dev.epoch(epoch)))
     ds.close()
 
 
