@@ -57,16 +57,23 @@ def season_arrays(
 ) -> Optional[Dict[str, np.ndarray]]:
     """Full-season modality mosaics as CHW numpy in transport dtype.
 
-    Returns None when the season's data needs per-patch healing (any NaN
-    in S2/S1) — the caller falls back to the host-patch feed, which
-    reproduces the reference's heal semantics exactly.
+    Returns ``(mosaics, nan_tiles)``: ``nan_tiles`` maps a healed
+    modality (S2/S1) to a tile-level summed-area table of its NaN pixels
+    ({} when the season is clean). Patches whose window overlaps a NaN
+    tile need the reference's per-patch healing (host feed,
+    PopulationDataset.py:418-441); every other patch crops from the
+    (possibly NaN-bearing) resident mosaics — its window provably holds
+    no NaN, so the values are identical to a host-healed read.
 
     S2 rides uint16 when the f32 roundtrip is lossless (the mosaics are
     stored uint16, reference README.md:245) — half the upload bytes.
     """
+    from ..data.device_weaksup import _tile_integral
+
     h, w = dataset.shape()
     window = ((0, h), (0, w))
     out: Dict[str, np.ndarray] = {}
+    nan_q: Dict[str, np.ndarray] = {}
     if dataset.s2:
         bands = (3, 2, 1, 4) if dataset.nir else (3, 2, 1)
         src = dataset._source("S2", season_idx, False)
@@ -77,14 +84,18 @@ def season_arrays(
             out["S2"] = arr
         else:
             arr = src.read(bands, window)
-            if np.isnan(arr).any():
-                return None
-            u16 = arr.astype(np.uint16)
-            out["S2"] = u16 if np.array_equal(u16, arr) else arr
+            nan2d = np.isnan(arr).any(axis=0)
+            if nan2d.any():
+                nan_q["S2"] = _tile_integral(nan2d)
+                out["S2"] = np.ascontiguousarray(arr, np.float32)
+            else:
+                u16 = arr.astype(np.uint16)
+                out["S2"] = u16 if np.array_equal(u16, arr) else arr
     if dataset.s1:
         arr = dataset._source("S1", season_idx, asc=False).read((1, 2), window)
-        if np.isnan(arr).any():
-            return None
+        nan2d = np.isnan(arr).any(axis=0)
+        if nan2d.any():
+            nan_q["S1"] = _tile_integral(nan2d)
         out["S1"] = np.ascontiguousarray(arr, np.float32)
     if dataset.viirs:
         # VIIRS is not healed by the reference's test path either
@@ -94,7 +105,7 @@ def season_arrays(
     if dataset._gb_counts is not None:
         arr = dataset._gb_counts.read(1, window=window)
         out["building_counts"] = np.ascontiguousarray(arr, np.float32)
-    return out
+    return out, nan_q
 
 
 def make_device_crop(patch: int, channels_last_keys=("S2", "S1", "VIIRS")):

@@ -677,7 +677,7 @@ def _run_device_feed_pass(
                 # serial path: the device is still crunching the previous
                 # season's crops while this assembly runs on the host
                 _assemble(s)
-            mos_host = holder.pop(s)
+            mos_host, nan_q = holder.pop(s)
             t_asm = holder.pop(f"t{s}")
             if timings is not None:
                 timings["feed_wait_s"] += t_asm
@@ -688,12 +688,28 @@ def _run_device_feed_pass(
             if overlap and si + 1 < len(order):
                 th = _threading.Thread(target=_assemble, args=(order[si + 1],))
                 th.start()
-            if mos_host is None:
-                # this season needs per-patch NaN healing -> host feed;
-                # later NaN-free seasons still run on device
-                remaining.extend(int(i) for i in by_season[s])
-                if bar is not None:
-                    bar.update(len(by_season[s]))
+            season_idxs = [int(i) for i in by_season[s]]
+            if nan_q:
+                # tile-level hybrid: only patches whose window overlaps a
+                # NaN tile need the reference's per-patch healing (host
+                # feed); the rest still crop from the resident mosaics —
+                # their windows provably hold no NaN
+                from ..data.device_weaksup import _window_has_nan
+
+                clean = []
+                for idx in season_idxs:
+                    x, y = (int(v) for v in coords[idx][:2])
+                    if any(
+                        _window_has_nan(q, x, y, p, p) for q in nan_q.values()
+                    ):
+                        remaining.append(idx)
+                        if bar is not None:
+                            bar.update(1)
+                    else:
+                        clean.append(idx)
+                season_idxs = clean
+            if not season_idxs:
+                pass  # whole season needs healing (or has no patches)
             else:
                 t0 = _time.perf_counter()
                 mos_dev = jax.device_put(mos_host)
@@ -702,7 +718,7 @@ def _run_device_feed_pass(
                 del mos_host
                 t0 = _time.perf_counter()
                 booked_warmup = first_visit
-                for idx in by_season[s]:
+                for idx in season_idxs:
                     if first_visit:
                         t_fv = _time.perf_counter()
                     x, y = (int(v) for v in coords[idx][:2])
@@ -735,6 +751,9 @@ def _run_device_feed_pass(
                         first_visit = False
                     if timings is not None:
                         timings["n_patches"] += 1
+                        timings["n_device_patches"] = (
+                            timings.get("n_device_patches", 0) + 1
+                        )
                     if bar is not None:
                         bar.update(1)
                 if timings is not None:

@@ -102,7 +102,10 @@ def test_device_feed_nan_season_falls_back(setup, tmp_path):
         host = run_sliding_inference(
             members, consts, mcfg, ds, stats=NormStats(), device_feed="off",
         )
-        assert t_dev["n_patches"] > 0
+        # tile-level hybrid: ONLY the patch overlapping the NaN tile takes
+        # the healing path; the NaN season's other patches stay on device
+        assert t_dev["n_patches"] == len(ds.patch_indices)
+        assert t_dev["n_device_patches"] == len(ds.patch_indices) - 1
         # the healed season is stitched AFTER the device seasons, so the
         # f32 accumulation order differs -> ulp-level tolerance (count is
         # order-invariant and stays exact)
