@@ -387,7 +387,9 @@ class DeviceWeaksupFeed(WeaksupFeed):
         self._seasonal = donor._seasonal
         self._mos = donor._mos
         self._bnd = donor._bnd
-        self._asm_cache = donor._asm_cache  # same arrays -> same executables
+        # stacks are jit args, so sharing the cache reuses the donor's
+        # compiled executables (same stack shapes/dtypes by construction)
+        self._asm_cache = donor._asm_cache
         self._x_off = x_off
         # a non-ascAug adoptee reads orb=0 (descending) slots of an
         # orbit-interleaved donor stack correctly; the reverse (ascAug
@@ -453,12 +455,16 @@ class DeviceWeaksupFeed(WeaksupFeed):
         import jax
         import jax.numpy as jnp
 
-        mos = self._mos
-        bnd = self._bnd
         seasonal = self._seasonal
         s1_orb = self._s1_orb  # 2 with -ascAug (desc/asc interleaved), else 1
 
-        def one(x0, y0, dx, dy, season, orb):
+        # The resident stacks (mos, bnd) MUST be jit ARGUMENTS, never
+        # closed-over device arrays: jax inlines closure constants into
+        # the lowered module, so every bucket specialization would embed
+        # the full region stacks (hundreds of MB) in its HLO — bloating
+        # compiles and overflowing remote-compile transports outright
+        # (observed: HTTP 413 through the TPU tunnel).
+        def one(mos, bnd, x0, y0, dx, dy, season, orb):
             ri = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
             valid = (ri < dx) & (ci < dy)
@@ -499,8 +505,10 @@ class DeviceWeaksupFeed(WeaksupFeed):
             return a
 
         @jax.jit
-        def asm(x0, y0, dx, dy, season, orb, vf, hf, rk):
-            items = jax.vmap(one)(x0, y0, dx, dy, season, orb)
+        def asm(mos, bnd, x0, y0, dx, dy, season, orb, vf, hf, rk):
+            items = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+                mos, bnd, x0, y0, dx, dy, season, orb
+            )
             return {k: geo(v, vf, hf, rk) for k, v in items.items()}
 
         self._asm_cache[key] = asm
@@ -538,6 +546,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
             [0 if it.get("descending", True) else 1 for it in items], np.int32
         )
         dev = asm(
+            self._mos, self._bnd,
             _m("x0"), _m("y0"), _m("dx"), _m("dy"), _m("season"),
             orb, np.bool_(vf), np.bool_(hf), np.int32(rk),
         )
