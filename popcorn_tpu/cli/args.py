@@ -56,6 +56,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host pod: jax.distributed.initialize() + a "
                         "DCN x ICI hybrid mesh (data-parallel across hosts, "
                         "data/ensemble within each ICI slice)")
+    p.add_argument("--compile_cache", nargs="?", const="~/.cache/popcorn_tpu/xla",
+                   default=None, metavar="DIR",
+                   help="persistent XLA compilation cache: skip the ~20-40 s "
+                        "re-jit on every invocation (bare flag uses "
+                        "~/.cache/popcorn_tpu/xla; also $POPCORN_COMPILE_CACHE)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.debug_nans: raise at the op that produced a NaN "
                         "(the reference's torch.autograd.set_detect_anomaly)")

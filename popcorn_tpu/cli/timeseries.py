@@ -20,9 +20,10 @@ import sys
 
 
 def main():
-    from ..utils import apply_platform_env
+    from ..utils import apply_platform_env, enable_compile_cache
 
     apply_platform_env()
+    enable_compile_cache()  # $POPCORN_COMPILE_CACHE opt-in
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     argv = sys.argv[2:]
     if mode == "builtup":

@@ -21,3 +21,33 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", val)
+
+
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Persistent XLA compilation cache shared across process restarts.
+
+    Every CLI invocation re-jits the same handful of executables (the
+    member fold alone costs ~20-40 s of XLA compile on a cold process).
+    The reference has no analogue — torch eager pays no compile — but on
+    TPU this is the dominant startup cost, so the CLIs expose it as
+    ``--compile_cache [DIR]`` / ``$POPCORN_COMPILE_CACHE``. Returns the
+    resolved directory, or None when disabled (no path given anywhere).
+
+    Must be called before the first jit compilation; safe to call before
+    backends initialize.
+    """
+    import os
+
+    path = path or os.environ.get("POPCORN_COMPILE_CACHE")
+    if not path:
+        return None
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache everything: the executables here are few and reused verbatim,
+    # so the default 1 s / 64-byte thresholds only lose hits.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -20,9 +20,12 @@ from popcorn_tpu.infer.evaluator import Evaluator
 
 def main():
     args = eval_parser().parse_args()
-    from popcorn_tpu.utils import apply_platform_env
+    from popcorn_tpu.utils import apply_platform_env, enable_compile_cache
 
     apply_platform_env()
+    cache = enable_compile_cache(args.compile_cache)
+    if cache:
+        print("XLA compile cache:", cache)
     paths = DataPaths(args.data_root)
     mcfg = model_config_from_args(args)
     ecfg = eval_config_from_args(args)

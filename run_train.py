@@ -19,9 +19,12 @@ from popcorn_tpu.train.trainer import Trainer
 
 def main():
     args = train_parser().parse_args()
-    from popcorn_tpu.utils import apply_platform_env
+    from popcorn_tpu.utils import apply_platform_env, enable_compile_cache
 
     apply_platform_env()
+    cache = enable_compile_cache(args.compile_cache)
+    if cache:
+        print("XLA compile cache:", cache)
     if args.multihost:
         # must run before the first jax backend query on every host
         import jax

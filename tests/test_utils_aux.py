@@ -138,3 +138,30 @@ def test_train_step_remat_matches():
     flat1 = jax.tree_util.tree_leaves(outs[True][0])
     for a, b_ in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7)
+
+
+def test_enable_compile_cache(tmp_path):
+    """enable_compile_cache points XLA's persistent cache at the given dir
+    (CLI --compile_cache / $POPCORN_COMPILE_CACHE); a jit after enabling
+    writes executable entries there, and a disabled call is a no-op."""
+    from popcorn_tpu.utils import enable_compile_cache
+
+    env = dict(os.environ)
+    env.pop("POPCORN_COMPILE_CACHE", None)
+    os.environ.pop("POPCORN_COMPILE_CACHE", None)
+    try:
+        assert enable_compile_cache(None) is None  # disabled: no path anywhere
+        cache = tmp_path / "xla"
+        resolved = enable_compile_cache(str(cache))
+        assert resolved == str(cache)
+
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: (x * 2.0).sum())(jnp.ones((8, 8))).block_until_ready()
+        assert any(cache.iterdir()), "no cache entries written"
+    finally:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        os.environ.update(env)
