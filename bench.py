@@ -35,31 +35,62 @@ _BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_d
 _BENCH_SIZE = int(os.environ.get("POPCORN_BENCH_SIZE", "9216"))
 
 
+def _measure_link():
+    """Host<->device bandwidth probe, (up_MB/s, down_MB/s).
+
+    The tunnel link degrades by orders of magnitude between sessions
+    (measured: 1.4 GB/s fresh, 50 MB/s after the first big executable,
+    2 MB/s on a sick tunnel — PERF_NOTES.md round 3). The optional
+    country-scale stages move GBs host<->device, so bench sizes them to
+    the measured link instead of overrunning the driver's patience; the
+    headline metrics are device-resident and unaffected either way.
+    POPCORN_BENCH_LINK_MBPS="<up>[,<down>]" skips the probe (tests).
+    """
+    import jax
+
+    override = os.environ.get("POPCORN_BENCH_LINK_MBPS")
+    if override:
+        parts = [float(x) for x in override.split(",")]
+        return parts[0], parts[-1]
+    mb = 16
+    a = np.random.default_rng(1).random(mb * 1024 * 1024 // 4).astype(np.float32)
+    t0 = time.time()
+    d = jax.device_put(a)
+    jax.block_until_ready(d)
+    up = mb / max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    np.asarray(d)
+    down = mb / max(time.time() - t0, 1e-9)
+    del d
+    return up, down
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _ensure_bench_region():
-    """Create (once, cached across rounds) the country-scale region."""
-    marker = os.path.join(_BENCH_DATA, f"ready_{_BENCH_SIZE}")
+def _ensure_bench_region(size):
+    """Create (once, cached across rounds, keyed by size) the region."""
+    root = os.path.join(_BENCH_DATA, str(size))
+    marker = os.path.join(root, f"ready_{size}")
     from popcorn_tpu.config import DataPaths
 
     if os.path.exists(marker):
-        return DataPaths(_BENCH_DATA)
+        return DataPaths(root)
     from popcorn_tpu.data.synthetic import make_synthetic_region
 
-    log(f"generating {_BENCH_SIZE}^2 x4-season bench region (one-time)...")
+    log(f"generating {size}^2 x4-season bench region (one-time)...")
     t0 = time.time()
+    n = max(4, 24 * size // 9216)
     paths = make_synthetic_region(
-        _BENCH_DATA, "rwa", height=_BENCH_SIZE, width=_BENCH_SIZE,
-        n_regions=(24, 24), seed=1600,
+        root, "rwa", height=size, width=size, n_regions=(n, n), seed=1600,
     )
     open(marker, "w").close()
     log(f"bench region generated in {time.time() - t0:.0f}s")
     return paths
 
 
-def full_pipeline_bench(members, consts, mcfg, device_pps):
+def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline):
     """Measured end-to-end country-scale eval with cold raster reads:
     season mosaics stream disk -> RAM -> HBM once (device-resident mosaic
     feed, infer/device_feed.py), the sliding window runs as on-device
@@ -79,7 +110,18 @@ def full_pipeline_bench(members, consts, mcfg, device_pps):
     from popcorn_tpu.infer.sliding import run_sliding_inference
     from popcorn_tpu.io.geotiff import GeoTIFF
 
-    paths = _ensure_bench_region()
+    up, down = link
+    # upload: 4 seasons x (S2 uint16 4ch + S1 f32 2ch) = 64 B/px;
+    # fetch: 3 f32 maps at finalize/write. +180 s warmup/compile slack.
+    est_s = size * size * 64 / 1e6 / up + size * size * 12 / 1e6 / down + 180
+    if time.time() + est_s > deadline:
+        msg = (
+            f"skipped: link {up:.1f} MB/s up -> est {est_s:.0f}s exceeds "
+            f"remaining bench budget"
+        )
+        log(f"full_pipeline {msg}")
+        return {"skipped": msg}
+    paths = _ensure_bench_region(size)
     out = {}
     modes = ["device_feed"]
     if os.environ.get("POPCORN_BENCH_HOSTFEED", "0") == "1":
@@ -150,7 +192,7 @@ def full_pipeline_bench(members, consts, mcfg, device_pps):
             rr = float(_r2(jnp.asarray(pred_c), jnp.asarray(gt_c)))
             log(
                 f"full_pipeline census-agg+adjust (device): {t_census:.1f}s, "
-                f"3x fetch+GeoTIFF writes ({_BENCH_SIZE}^2): {t_write:.1f}s, "
+                f"3x fetch+GeoTIFF writes ({size}^2): {t_write:.1f}s, "
                 f"census r2 (synthetic, random heads): {rr:.3f}"
             )
             out["census_agg_s"] = round(t_census, 2)
@@ -159,7 +201,7 @@ def full_pipeline_bench(members, consts, mcfg, device_pps):
     return out
 
 
-def train_e2e_bench(params0, consts, mcfg):
+def train_e2e_bench(params0, consts, mcfg, size, max_samples, link, deadline):
     """Steady-state train-epoch throughput with the real data plane
     (VERDICT round 2, next #7): one warmup epoch (compiles per bucket),
     then a timed epoch; asserts zero XLA compile requests during the
@@ -176,7 +218,18 @@ def train_e2e_bench(params0, consts, mcfg):
     from popcorn_tpu.data.normalize import NormStats
     from popcorn_tpu.train.state import make_optimizer, make_train_step
 
-    paths = _ensure_bench_region()
+    up, _down = link
+    # host feed ships ~18 MB/sample/epoch x2 epochs; the device feed
+    # uploads resident train stacks (~72 B/px). +120 s compile slack.
+    est_s = 2 * max_samples * 18 / up + size * size * 72 / 1e6 / up + 120
+    if time.time() + est_s > deadline:
+        msg = (
+            f"skipped: link {up:.1f} MB/s up -> est {est_s:.0f}s exceeds "
+            f"remaining bench budget"
+        )
+        log(f"train_e2e {msg}")
+        return {"skipped": msg}
+    paths = _ensure_bench_region(size)
     ds = PopulationDataset(
         paths, "rwa", mode="weaksup", split="all", train_level="coarse",
         s1=True, s2=True, nir=True, fourseasons=True,
@@ -185,7 +238,7 @@ def train_e2e_bench(params0, consts, mcfg):
     tcfg = TrainConfig(weak_batch_size=2)
     feed_kw = dict(
         batch_size=2, bucket_ladder=tcfg.bucket_ladder, seed=1600,
-        num_workers=1, max_samples=128,
+        num_workers=1, max_samples=max_samples,
     )
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params0)
@@ -239,13 +292,20 @@ def train_e2e_bench(params0, consts, mcfg):
         }
 
     out = {"host_feed": measure(WeaksupFeed([ds], **feed_kw), "host feed")}
-    try:
-        out["device_feed"] = measure(
-            DeviceWeaksupFeed([ds], **feed_kw), "device feed"
-        )
-    except Exception as e:  # Ineligible or OOM: report, keep host number
-        log(f"device training feed unavailable in bench: {e}")
-        out["device_feed"] = {"error": str(e)[:200]}
+    stack_est_s = size * size * 72 / 1e6 / up + 60
+    if time.time() + stack_est_s > deadline:
+        out["device_feed"] = {
+            "skipped": f"link {up:.1f} MB/s: resident-stack upload est "
+                       f"{stack_est_s:.0f}s exceeds remaining budget"
+        }
+    else:
+        try:
+            out["device_feed"] = measure(
+                DeviceWeaksupFeed([ds], **feed_kw), "device feed"
+            )
+        except Exception as e:  # Ineligible or OOM: report, keep host number
+            log(f"device training feed unavailable in bench: {e}")
+            out["device_feed"] = {"error": str(e)[:200]}
     ds.close()
     return out
 
@@ -305,9 +365,23 @@ def main():
     from popcorn_tpu.infer.sliding import make_patch_forward, stack_ensemble
     from popcorn_tpu.nn.init import init_head, init_popcorn
 
+    t_start = time.time()
     backend, devices = _guarded_backend_init()
     log(f"backend: {backend}, devices: {devices}")
     on_tpu = backend == "tpu"
+
+    # Size the optional GB-moving stages to the measured link and keep the
+    # whole run inside a wall-clock budget — a degraded tunnel must shrink
+    # the country-scale stages, never cost the one-line JSON artifact.
+    link = _measure_link()
+    up_mbps = link[0]
+    log(f"host<->device link: {up_mbps:.1f} MB/s up, {link[1]:.1f} MB/s down")
+    if "POPCORN_BENCH_SIZE" in os.environ:
+        bench_size = _BENCH_SIZE
+    else:
+        bench_size = 9216 if up_mbps >= 25 else (4608 if up_mbps >= 8 else 2304)
+    max_samples = 128 if up_mbps >= 25 else (48 if up_mbps >= 8 else 16)
+    deadline = t_start + float(os.environ.get("POPCORN_BENCH_BUDGET_S", "3300"))
 
     mcfg = ModelConfig(
         pretrained=True,
@@ -465,6 +539,9 @@ def main():
         # ::test_ensemble_sharded_inference_matches_scan_fold and the
         # dryrun_multichip 2-D section) — tested-correct, not tested-fast.
         "ensemble_parallel": "requires n>=2 chips; dryrun-verified only",
+        # measured this run; the country-scale stages are sized to it
+        "link_mbps": {"up": round(link[0], 1), "down": round(link[1], 1)},
+        "bench_region_px": bench_size,
     }
     if qs_pps:
         # opt-in --quantize int8s (corr 0.9997 vs bf16; PERF_NOTES round 3)
@@ -481,7 +558,8 @@ def main():
         # measured country-scale end-to-end pipeline (VERDICT r2 #4)
         try:
             result["full_pipeline"] = full_pipeline_bench(
-                members, consts, mcfg, device_pps=pps
+                members, consts, mcfg, device_pps=pps,
+                size=bench_size, link=link, deadline=deadline,
             )
         except Exception as e:  # keep the ONE-json-line contract
             log(f"full_pipeline bench failed: {type(e).__name__}: {e}")
@@ -490,7 +568,10 @@ def main():
         gc.collect()  # drop full_pipeline's device buffers: the resident
         # train stacks (~6.4 GB on the 9216^2 region) need the headroom
         try:
-            result["train_e2e"] = train_e2e_bench(params0, consts, mcfg)
+            result["train_e2e"] = train_e2e_bench(
+                params0, consts, mcfg, size=bench_size,
+                max_samples=max_samples, link=link, deadline=deadline,
+            )
         except Exception as e:
             log(f"train_e2e bench failed: {type(e).__name__}: {e}")
             result["train_e2e"] = {"error": str(e)[:200]}
