@@ -58,15 +58,47 @@ def _measure_link():
     d = jax.device_put(a)
     jax.block_until_ready(d)
     up = mb / max(time.time() - t0, 1e-9)
-    t0 = time.time()
-    np.asarray(d)
-    down = mb / max(time.time() - t0, 1e-9)
-    del d
+    # fetch a 4 MB slice twice and keep the best: the first fetch after an
+    # upload can eat a transient stall that is not the steady-state rate,
+    # and a sick link should not make the probe itself minutes long
+    sl = d[: len(a) // 4]
+    jax.block_until_ready(sl)
+    down = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(sl)
+        down = max(down, mb / 4 / max(time.time() - t0, 1e-9))
+    del d, sl
     return up, down
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _gen_estimate_s(size):
+    """One-time synthetic-region generation cost when not yet cached
+    (measured: 3122 s for 9216^2 on this 1-CPU host; quadratic in size)."""
+    if os.path.exists(os.path.join(_BENCH_DATA, str(size), f"ready_{size}")):
+        return 0.0
+    return 3200.0 * (size / 9216) ** 2
+
+
+def _pick_bench_size(link, deadline):
+    """Largest region whose generation + transfer estimate for BOTH
+    country-scale stages fits the remaining budget."""
+    up, down = link
+    for size in (9216, 4608, 2304):
+        px = size * size
+        est = (
+            _gen_estimate_s(size)
+            + px * (64 + 72) / 1e6 / up  # full_pipeline seasons + train stacks
+            + px * 12 / 1e6 / down       # 3-map fetch at finalize
+            + 300                        # compile/warmup slack
+        )
+        if time.time() + est < deadline:
+            return size
+    return 2304
 
 
 def _ensure_bench_region(size):
@@ -113,7 +145,12 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
     up, down = link
     # upload: 4 seasons x (S2 uint16 4ch + S1 f32 2ch) = 64 B/px;
     # fetch: 3 f32 maps at finalize/write. +180 s warmup/compile slack.
-    est_s = size * size * 64 / 1e6 / up + size * size * 12 / 1e6 / down + 180
+    est_s = (
+        _gen_estimate_s(size)
+        + size * size * 64 / 1e6 / up
+        + size * size * 12 / 1e6 / down
+        + 180
+    )
     if time.time() + est_s > deadline:
         msg = (
             f"skipped: link {up:.1f} MB/s up -> est {est_s:.0f}s exceeds "
@@ -221,7 +258,12 @@ def train_e2e_bench(params0, consts, mcfg, size, max_samples, link, deadline):
     up, _down = link
     # host feed ships ~18 MB/sample/epoch x2 epochs; the device feed
     # uploads resident train stacks (~72 B/px). +120 s compile slack.
-    est_s = 2 * max_samples * 18 / up + size * size * 72 / 1e6 / up + 120
+    est_s = (
+        _gen_estimate_s(size)
+        + 2 * max_samples * 18 / up
+        + size * size * 72 / 1e6 / up
+        + 120
+    )
     if time.time() + est_s > deadline:
         msg = (
             f"skipped: link {up:.1f} MB/s up -> est {est_s:.0f}s exceeds "
@@ -376,12 +418,12 @@ def main():
     link = _measure_link()
     up_mbps = link[0]
     log(f"host<->device link: {up_mbps:.1f} MB/s up, {link[1]:.1f} MB/s down")
+    deadline = t_start + float(os.environ.get("POPCORN_BENCH_BUDGET_S", "3300"))
     if "POPCORN_BENCH_SIZE" in os.environ:
         bench_size = _BENCH_SIZE
     else:
-        bench_size = 9216 if up_mbps >= 25 else (4608 if up_mbps >= 8 else 2304)
+        bench_size = _pick_bench_size(link, deadline)
     max_samples = 128 if up_mbps >= 25 else (48 if up_mbps >= 8 else 16)
-    deadline = t_start + float(os.environ.get("POPCORN_BENCH_BUDGET_S", "3300"))
 
     mcfg = ModelConfig(
         pretrained=True,
