@@ -58,13 +58,15 @@ def _measure_link():
     d = jax.device_put(a)
     jax.block_until_ready(d)
     up = mb / max(time.time() - t0, 1e-9)
-    # fetch a 4 MB slice twice and keep the best: the first fetch after an
-    # upload can eat a transient stall that is not the steady-state rate,
-    # and a sick link should not make the probe itself minutes long
-    sl = d[: len(a) // 4]
-    jax.block_until_ready(sl)
+    # fetch two DISTINCT 4 MB slices and keep the best rate: the first
+    # fetch after an upload can eat a transient stall that is not the
+    # steady-state rate, re-fetching the SAME array would measure jax's
+    # host-copy cache instead of the link, and a sick link should not
+    # make the probe itself minutes long
+    n = len(a) // 4
     down = 0.0
-    for _ in range(2):
+    for sl in (d[:n], d[n : 2 * n]):
+        jax.block_until_ready(sl)
         t0 = time.time()
         np.asarray(sl)
         down = max(down, mb / 4 / max(time.time() - t0, 1e-9))
