@@ -285,3 +285,31 @@ def test_multi_region_modality_mismatch_rejected(synth, tmp_path_factory):
     with pytest.raises(Ineligible, match="modality config"):
         DeviceWeaksupFeed([ds1, ds2], batch_size=2, seed=1600)
     ds1.close(); ds2.close()
+
+
+def test_assembler_lowers_without_inlined_stacks(synth):
+    """The jitted batch assembler must take the resident stacks as
+    ARGUMENTS: jax inlines closed-over arrays into the lowered module as
+    constants, so a closure-captured stack bloats every bucket
+    specialization by the full region bytes — remote-compile transports
+    reject such modules outright (observed HTTP 413 through the TPU
+    tunnel). Guard: the lowered module stays KB-sized while the stacks
+    it crops from are MB-sized."""
+    ds = _ds(synth)
+    feed = DeviceWeaksupFeed([ds], batch_size=2, bucket_ladder=(64, 128), seed=3)
+    try:
+        asm = feed._assemble_fn(64, 64, False, 2)
+        stack_bytes = sum(int(np.asarray(a).nbytes) for a in feed._mos.values())
+        assert stack_bytes > 5_000_000  # the trap is real at this size
+        z = np.zeros((2,), np.int32)
+        lowered = asm.lower(
+            feed._mos, feed._bnd, z, z, z + 64, z + 64, z, z,
+            np.bool_(False), np.bool_(False), np.int32(0),
+        )
+        text = lowered.as_text()
+        assert len(text) < 2_000_000, (
+            f"lowered assembler module is {len(text)} bytes - resident "
+            "stacks are being inlined as constants again"
+        )
+    finally:
+        ds.close()
