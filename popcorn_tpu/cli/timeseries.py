@@ -33,6 +33,12 @@ def main():
         p.add_argument("--patchsize", type=int, default=1024)
         p.add_argument("--overlap", type=int, default=64)
         p.add_argument("--no-nir", action="store_true")
+        p.add_argument(
+            "--spatial", action="store_true",
+            help="spatially partition each whole frame over all devices "
+            "(rows sharded on a 'data' mesh, XLA halo exchange) instead of "
+            "overlap-stitched patches — for pods/multi-chip hosts",
+        )
         a = p.parse_args(argv)
 
         from popcorn_tpu.compat.torch_convert import load_popcorn_from_dda
@@ -53,9 +59,14 @@ def main():
         mcfg = ModelConfig(nir=not a.no_nir)
         _, consts = load_popcorn_from_dda(mcfg)
         pairs = find_closest_frames(frames("s2"), frames("s1_desc"), frames("s1_asc"))
+        mesh = None
+        if a.spatial:
+            from popcorn_tpu.dist.mesh import make_mesh
+
+            mesh = make_mesh()
         written = run_builtup_timeseries(
             consts, mcfg, pairs, a.out_dir,
-            patchsize=a.patchsize, overlap=a.overlap,
+            patchsize=a.patchsize, overlap=a.overlap, mesh=mesh,
         )
         for w in written:
             print("->", w)

@@ -1,0 +1,201 @@
+"""Spatially-partitioned whole-frame inference (the 'sp' sharding axis).
+
+The reference processes large frames as overlap-stitched patches on one
+GPU (run_eval.py:71-203, time_series_inference_single_frame.py) — every
+patch re-computes its overlap band and the stitch runs on the host. On a
+TPU pod the idiomatic alternative for ONE huge frame is spatial
+partitioning: shard the frame's row axis across the mesh's 'data' axis
+and let XLA's SPMD partitioner insert the halo exchanges for every
+conv / pool / transposed conv in the dual-stream UNet. One jit call then
+computes the whole frame —
+
+  * no overlap recomputation (halo exchange moves a few boundary rows
+    over ICI instead of re-running the model on 2*overlap-wide bands);
+  * no host stitching (the map materializes sharded in HBM);
+  * per-device activation memory is 1/n of the frame, so frames n× larger
+    than single-chip HBM fit.
+
+Correctness is XLA's: spatial partitioning is semantics-preserving, so
+the sharded map matches the single-device map to ULP (the partitioner
+tiles each conv's reduction differently; asserted at rtol 1e-5 in
+tests/test_spatial.py on the virtual CPU mesh). Scalar reductions
+(popcount) additionally differ by psum reduction order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..data.normalize import NormStats, normalize_and_assemble
+from ..nn.popcorn import create_building_score, popcorn_forward
+
+Tree = Dict
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape["data"]
+
+
+def _spatial_cfg(mcfg: ModelConfig) -> ModelConfig:
+    """Config variant safe under SPMD spatial partitioning.
+
+    Pallas kernels are opaque custom calls with no sharding rule — SPMD
+    would gather the whole frame onto every device — and the packed
+    space-to-depth engine reshapes the sharded row axis (a resharding
+    gather). Plain NHWC convs partition with local halo exchanges only.
+    """
+    return dataclasses.replace(
+        mcfg,
+        layout="plain",
+        fused_head=False,
+        pallas_stream=False,
+        pallas_packed_head=False,
+        quantize=None,
+    )
+
+
+def _row_sharding(mesh: Mesh, rank: int) -> NamedSharding:
+    """Shard a (B, H, ...) array's H axis over the mesh's 'data' axis."""
+    spec = [None] * rank
+    spec[1] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def _pad_frame(a: np.ndarray, mh: int, mw: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Edge-pad an HWC frame so H % mh == 0 and W % mw == 0.
+
+    Edge replication keeps the padded band in-distribution for the UNet
+    (zeros would bleed a false 'dark' border through the 3x3 convs); the
+    pad is cropped off the output, so only the count must exclude it —
+    callers sum the cropped map instead of trusting the model's popcount.
+    """
+    h, w = a.shape[:2]
+    ph, pw = (-h) % mh, (-w) % mw
+    if ph == 0 and pw == 0:
+        return a, (0, 0)
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, mode="edge"), (ph, pw)
+
+
+def make_spatial_builtup(
+    consts: Tree,
+    mcfg: ModelConfig,
+    mesh: Mesh,
+    stats: Optional[NormStats] = None,
+):
+    """Jitted built-up score over a row-sharded whole frame.
+
+    Returns fn(s2, s1) -> (B,H,W) score map, inputs (B,H,W,C) with the H
+    axis sharded over 'data'. The frozen builder UNet runs under XLA
+    spatial partitioning; halo exchanges ride ICI.
+    """
+    stats = stats or NormStats()
+    mcfg = _spatial_cfg(mcfg)
+    sp4 = _row_sharding(mesh, 4)
+    sp3 = _row_sharding(mesh, 3)
+    dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None
+
+    def fn(s2, s1):
+        x = normalize_and_assemble({"S2": s2, "S1": s1}, stats)
+        return create_building_score(
+            consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+            dtype=dtype, layout="plain",
+        )
+
+    return jax.jit(fn, in_shardings=(sp4, sp4), out_shardings=sp3)
+
+
+def make_spatial_popcorn(
+    params: Tree,
+    consts: Tree,
+    mcfg: ModelConfig,
+    mesh: Mesh,
+    stats: Optional[NormStats] = None,
+):
+    """Jitted POPCORN density forward over a row-sharded whole frame.
+
+    Returns fn(params, s2, s1) -> (B,H,W) density map (row-sharded).
+    Params replicate; XLA partitions every conv spatially and inserts the
+    halo exchanges. The popcount is NOT returned — padded frames would
+    count the pad band; callers sum the cropped map (spatial_density_map).
+    """
+    stats = stats or NormStats()
+    mcfg = _spatial_cfg(mcfg)
+    sp4 = _row_sharding(mesh, 4)
+    sp3 = _row_sharding(mesh, 3)
+    rep = NamedSharding(mesh, P())
+
+    def fn(p, s2, s1):
+        inputs = {"input": normalize_and_assemble({"S2": s2, "S1": s1}, stats)}
+        out = popcorn_forward(
+            p, consts, inputs, mcfg, train=False, padding=False, sparse=False
+        )
+        return out["popdensemap"]
+
+    return jax.jit(fn, in_shardings=(rep, sp4, sp4), out_shardings=sp3)
+
+
+def spatial_builtup_map(
+    consts: Tree,
+    mcfg: ModelConfig,
+    s2: np.ndarray,
+    s1: np.ndarray,
+    mesh: Mesh,
+    *,
+    stats: Optional[NormStats] = None,
+    _fn=None,
+) -> np.ndarray:
+    """Whole-frame built-up probability, spatially sharded. HWC inputs.
+
+    Pads rows to a multiple of 4*n_data (each shard stays 4-divisible
+    through the two maxpools), columns to a multiple of 4, crops after.
+    """
+    nd = data_axis_size(mesh)
+    fn = _fn or make_spatial_builtup(consts, mcfg, mesh, stats)
+    h, w = s2.shape[:2]
+    s2p, _ = _pad_frame(s2, 4 * nd, 4)
+    s1p, _ = _pad_frame(s1, 4 * nd, 4)
+    sp4 = _row_sharding(mesh, 4)
+    out = fn(
+        jax.device_put(s2p[None], sp4), jax.device_put(s1p[None], sp4)
+    )
+    return np.asarray(out)[0, :h, :w]
+
+
+def spatial_density_map(
+    params: Tree,
+    consts: Tree,
+    mcfg: ModelConfig,
+    s2: np.ndarray,
+    s1: np.ndarray,
+    mesh: Mesh,
+    *,
+    stats: Optional[NormStats] = None,
+    _fn=None,
+) -> Tuple[np.ndarray, float]:
+    """Whole-frame POPCORN density map + total count, spatially sharded.
+
+    HWC inputs; returns (H,W) float32 map cropped to the input extent and
+    its sum (the popcount over the true frame, excluding the pad band).
+    """
+    nd = data_axis_size(mesh)
+    fn = _fn or make_spatial_popcorn(params, consts, mcfg, mesh, stats)
+    h, w = s2.shape[:2]
+    s2p, _ = _pad_frame(s2, 4 * nd, 4)
+    s1p, _ = _pad_frame(s1, 4 * nd, 4)
+    sp4 = _row_sharding(mesh, 4)
+    rep = NamedSharding(mesh, P())
+    out = fn(
+        jax.device_put(params, rep),
+        jax.device_put(s2p[None], sp4),
+        jax.device_put(s1p[None], sp4),
+    )
+    m = np.asarray(out)[0, :h, :w].astype(np.float32)
+    return m, float(m.sum())

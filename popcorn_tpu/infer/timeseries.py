@@ -104,10 +104,21 @@ def builtup_map(
     stats: Optional[NormStats] = None,
     patchsize: int = 1024,
     overlap: int = 64,
+    mesh=None,
     _score_fn=None,
 ) -> np.ndarray:
-    """Built-up probability for one frame (HWC inputs), tiled if large."""
+    """Built-up probability for one frame (HWC inputs), tiled if large.
+
+    With ``mesh`` (a 1-D 'data' mesh), the whole frame runs in ONE
+    spatially-partitioned jit call — rows sharded over the mesh, XLA halo
+    exchange instead of overlap-stitched patches (infer/spatial.py)."""
     stats = stats or NormStats()
+    if mesh is not None:
+        from .spatial import spatial_builtup_map
+
+        return spatial_builtup_map(
+            consts, mcfg, s2, s1, mesh, stats=stats, _fn=_score_fn
+        )
     fn = _score_fn or _make_score_fn(consts, mcfg, stats)
     h, w = s2.shape[:2]
     if h <= patchsize and w <= patchsize:
@@ -138,12 +149,21 @@ def run_builtup_timeseries(
     stats: Optional[NormStats] = None,
     patchsize: int = 1024,
     overlap: int = 64,
+    mesh=None,
 ) -> List[str]:
     """Produce BuiltUp_<date>.tif per (S2, S1desc, S1asc) triple, averaging
-    the two orbits' probabilities (reference intent :340-372)."""
+    the two orbits' probabilities (reference intent :340-372).
+
+    ``mesh``: spatially partition each whole frame over the mesh's 'data'
+    axis instead of patch-stitching (see builtup_map)."""
     os.makedirs(output_dir, exist_ok=True)
     stats = stats or NormStats()
-    fn = _make_score_fn(consts, mcfg, stats)
+    if mesh is not None:
+        from .spatial import make_spatial_builtup
+
+        fn = make_spatial_builtup(consts, mcfg, mesh, stats)
+    else:
+        fn = _make_score_fn(consts, mcfg, stats)
     s2_bands = (3, 2, 1, 4) if mcfg.nir else (3, 2, 1)
     written = []
     for s2f, descf, ascf in pairs:
@@ -160,7 +180,8 @@ def run_builtup_timeseries(
             scores.append(
                 builtup_map(
                     consts, mcfg, s2, s1, stats=stats,
-                    patchsize=patchsize, overlap=overlap, _score_fn=fn,
+                    patchsize=patchsize, overlap=overlap, mesh=mesh,
+                    _score_fn=fn,
                 )
             )
         avg = sum(scores) / float(len(scores))

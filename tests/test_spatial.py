@@ -1,0 +1,143 @@
+"""Spatially-partitioned whole-frame inference (infer/spatial.py).
+
+XLA SPMD spatial partitioning is semantics-preserving, so the row-sharded
+map must match the single-device map to ULP on the f32 CPU mesh (the
+partitioner tiles each conv's reduction differently, so a few elements
+differ in the last bit); scalar reductions (count) differ by psum order.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from popcorn_tpu.config import ModelConfig
+from popcorn_tpu.data.normalize import NormStats, normalize_and_assemble
+from popcorn_tpu.dist.mesh import make_mesh
+from popcorn_tpu.infer.spatial import (
+    _pad_frame,
+    make_spatial_builtup,
+    spatial_builtup_map,
+    spatial_density_map,
+)
+from popcorn_tpu.nn.init import init_popcorn
+from popcorn_tpu.nn.popcorn import create_building_score, popcorn_forward
+
+
+@pytest.fixture(scope="module")
+def model():
+    mcfg = ModelConfig(pretrained=False, fused_head=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+    return mcfg, params, consts
+
+
+def _frame(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    s2 = rng.uniform(0, 4000, (h, w, 4)).astype(np.float32)
+    s1 = rng.uniform(-25, 0, (h, w, 2)).astype(np.float32)
+    return s2, s1
+
+
+def test_pad_frame_multiples_and_crop():
+    a = np.arange(10 * 7 * 2, dtype=np.float32).reshape(10, 7, 2)
+    p, (ph, pw) = _pad_frame(a, 8, 4)
+    assert p.shape == (16, 8, 2) and (ph, pw) == (6, 1)
+    np.testing.assert_array_equal(p[:10, :7], a)
+    # edge replication, not zeros
+    np.testing.assert_array_equal(p[10:, :7], np.broadcast_to(a[-1:], (6, 7, 2)))
+    p2, pads = _pad_frame(a[:8, :4], 8, 4)
+    assert pads == (0, 0) and p2 is a[:8, :4] or p2.shape == (8, 4, 2)
+
+
+def test_spatial_density_matches_single_device(model):
+    mcfg, params, consts = model
+    mesh = make_mesh(8)
+    h, w = 160, 96  # h % (4*8) == 0: no-pad path
+    s2, s1 = _frame(h, w)
+    m_sp, cnt = spatial_density_map(params, consts, mcfg, s2, s1, mesh)
+
+    stats = NormStats()
+    inputs = {"input": normalize_and_assemble(
+        {"S2": jnp.asarray(s2[None]), "S1": jnp.asarray(s1[None])}, stats)}
+    ref = popcorn_forward(
+        params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+    )
+    ref_map = np.asarray(ref["popdensemap"])[0]
+    np.testing.assert_allclose(m_sp, ref_map, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cnt, ref_map.sum(), rtol=1e-5)
+
+
+def test_spatial_density_padded_frame(model):
+    """Rows not divisible by 4*n_data: pad-with-edge then crop. The padded
+    band influences the true rows only through the UNet's receptive field
+    at the seam — identical to what any larger frame would do — so the
+    cropped map must match the same-frame single-device run padded the
+    same way."""
+    mcfg, params, consts = model
+    mesh = make_mesh(8)
+    h, w = 100, 50  # pads to 128 x 52
+    s2, s1 = _frame(h, w, seed=3)
+    m_sp, cnt = spatial_density_map(params, consts, mcfg, s2, s1, mesh)
+    assert m_sp.shape == (h, w)
+
+    s2p, _ = _pad_frame(s2, 32, 4)
+    s1p, _ = _pad_frame(s1, 32, 4)
+    stats = NormStats()
+    inputs = {"input": normalize_and_assemble(
+        {"S2": jnp.asarray(s2p[None]), "S1": jnp.asarray(s1p[None])}, stats)}
+    ref = popcorn_forward(
+        params, consts, inputs, mcfg, train=False, padding=False, sparse=False
+    )
+    ref_map = np.asarray(ref["popdensemap"])[0, :h, :w]
+    np.testing.assert_allclose(m_sp, ref_map, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cnt, ref_map.sum(), rtol=1e-5)
+
+
+def test_spatial_builtup_matches_single_device(model):
+    mcfg, params, consts = model
+    mesh = make_mesh(8)
+    h, w = 96, 64
+    s2, s1 = _frame(h, w, seed=5)
+    m_sp = spatial_builtup_map(consts, mcfg, s2, s1, mesh)
+
+    stats = NormStats()
+    x = normalize_and_assemble(
+        {"S2": jnp.asarray(s2[None]), "S1": jnp.asarray(s1[None])}, stats
+    )
+    ref = np.asarray(
+        create_building_score(
+            consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+            layout="plain",
+        )
+    )[0]
+    np.testing.assert_allclose(m_sp, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_builtup_map_mesh_path_equals_patch_path(model):
+    """builtup_map(mesh=...) must agree with the default patch-stitched
+    path on a frame that fits one patch (where stitching is exact)."""
+    mcfg, params, consts = model
+    from popcorn_tpu.infer.timeseries import builtup_map
+
+    mesh = make_mesh(8)
+    h, w = 96, 64
+    s2, s1 = _frame(h, w, seed=7)
+    via_mesh = builtup_map(consts, mcfg, s2, s1, mesh=mesh)
+    via_patch = builtup_map(consts, mcfg, s2, s1, patchsize=1024)
+    # patch path uses the packed engine ('auto'), mesh path plain NHWC:
+    # same math, different layout -> allclose, not bit-equal
+    np.testing.assert_allclose(via_mesh, via_patch, rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_fn_reuse_two_frames(model):
+    """The jitted spatial builtup fn is shape-polymorphic per shape bucket
+    and reusable across frames (one compile per padded shape)."""
+    mcfg, params, consts = model
+    mesh = make_mesh(8)
+    fn = make_spatial_builtup(consts, mcfg, mesh)
+    for seed in (1, 2):
+        s2, s1 = _frame(64, 64, seed=seed)
+        out = spatial_builtup_map(consts, mcfg, s2, s1, mesh, _fn=fn)
+        assert out.shape == (64, 64)
+        assert np.isfinite(out).all()
