@@ -74,6 +74,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--resume", type=str, default=None)
     p.add_argument("-tregtrain", "--target_regions_train", nargs="+", default=["rwa"])
     p.add_argument("-wb", "--weak_batch_size", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer update: the jitted step "
+                        "scans N microbatches of batch/N samples and applies "
+                        "one averaged update — same effective batch, ~N x "
+                        "less activation HBM (combine with --remat for the "
+                        "largest crops)")
     p.add_argument("-wvb", "--weak_val_batch_size", type=int, default=1)
     p.add_argument("-e", "--num_epochs", type=int, default=100)
     p.add_argument("-lr", "--learning_rate", type=float, default=1e-4)
@@ -228,6 +234,7 @@ def train_config_from_args(a) -> TrainConfig:
         multihost=a.multihost,
         watch_every=a.watch_every,
         device_feed=getattr(a, "device_feed", "auto"),
+        grad_accum=max(1, getattr(a, "grad_accum", 1)),
     )
 
 

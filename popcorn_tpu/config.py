@@ -359,6 +359,11 @@ class TrainConfig:
     watch_every: int = 0  # >0: log per-layer grad norms + param histograms
     # every N iters (the reference's wandb.watch, run_train.py:75)
     device_feed: str = "auto"  # HBM-resident training feed (device_weaksup)
+    grad_accum: int = 1  # microbatches per optimizer update: the jitted
+    # step lax.scans grad_accum microbatches of B/grad_accum samples and
+    # applies ONE averaged update — peak activation HBM drops ~grad_accum x
+    # for the same effective batch (pairs with remat_unet to push past the
+    # reference's -lim1/-lim2 freeze tiers instead of freezing layers)
 
 
 @dataclasses.dataclass

@@ -149,15 +149,66 @@ def make_train_step(
         aux["popcount"] = out["popcount"]
         return optim_loss, aux
 
+    def accum_grads(params, batch, key, encoder_no_grad, unet_no_grad, n_micro):
+        """Average value_and_grad over n_micro microbatches via lax.scan.
+
+        Each batch-leading array reshapes (B, ...) -> (n_micro, B/n_micro,
+        ...); one microbatch's activations live at a time, so peak HBM
+        drops ~n_micro x while the averaged gradient equals the big-batch
+        gradient (the loss is a mean over samples). Scalar aux averages;
+        per-sample aux (popcount) restacks to (B,) in input order. Batch-
+        level diagnostics (mCorrelation/mr2) are computed per microbatch
+        and averaged — degenerate (0) when B/n_micro == 1.
+        """
+        b = batch["y"].shape[0]
+        mb = b // n_micro
+
+        def split(v):
+            if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == b:
+                return v.reshape((n_micro, mb) + v.shape[1:])
+            return None  # broadcast leaves (e.g. 'photometric') pass via closure
+
+        stacked = {k: split(v) for k, v in batch.items()}
+        shared = {k: batch[k] for k, v in stacked.items() if v is None}
+        stacked = {k: v for k, v in stacked.items() if v is not None}
+        keys = jax.random.split(key, n_micro)
+
+        def micro(g_sum, xs):
+            mb_batch, k = xs
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, {**mb_batch, **shared}, k, encoder_no_grad, unet_no_grad
+            )
+            g_sum = jax.tree.map(jnp.add, g_sum, g)
+            return g_sum, aux
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        g_sum, auxs = jax.lax.scan(micro, zeros, (stacked, keys))
+        grads = jax.tree.map(lambda g: g / n_micro, g_sum)
+        aux = {
+            k: v.reshape((b,) + v.shape[2:]) if v.ndim >= 2 and v.shape[1] == mb
+            else v.mean(axis=0)
+            for k, v in auxs.items()
+        }
+        return grads, aux
+
     @functools.partial(
         jax.jit,
         static_argnames=("encoder_no_grad", "unet_no_grad", "collect_watch"),
     )
     def step(params, opt_state, batch, key, *, encoder_no_grad=False,
              unet_no_grad=False, collect_watch=False):
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, key, encoder_no_grad, unet_no_grad
-        )
+        n_micro = max(1, int(getattr(tcfg, "grad_accum", 1)))
+        b = batch["y"].shape[0]
+        if n_micro > 1 and b >= n_micro and b % n_micro == 0:
+            grads, aux = accum_grads(
+                params, batch, key, encoder_no_grad, unet_no_grad, n_micro
+            )
+        else:
+            # indivisible tail batch: single microbatch (trace-time branch;
+            # each batch shape is its own XLA specialization anyway)
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key, encoder_no_grad, unet_no_grad
+            )
         if collect_watch:
             # per-layer gradient norms for the wandb.watch equivalent
             # (reference run_train.py:75). Static arg: the norms compile
