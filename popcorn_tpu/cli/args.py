@@ -234,8 +234,24 @@ def train_config_from_args(a) -> TrainConfig:
         multihost=a.multihost,
         watch_every=a.watch_every,
         device_feed=getattr(a, "device_feed", "auto"),
-        grad_accum=max(1, getattr(a, "grad_accum", 1)),
+        grad_accum=_validated_grad_accum(a),
     )
+
+
+def _validated_grad_accum(a) -> int:
+    """--grad_accum must divide the configured batch size, else every full
+    batch would silently take the single-shot fallback (meant only for an
+    epoch's indivisible tail batch) and the flag's HBM saving never
+    materializes."""
+    accum = max(1, getattr(a, "grad_accum", 1))
+    wb = getattr(a, "weak_batch_size", None)
+    if accum > 1 and wb and wb % accum != 0:
+        raise SystemExit(
+            f"--grad_accum {accum} does not divide --weak_batch_size {wb}: "
+            "full batches would run un-accumulated (no memory saving). "
+            "Pick a divisor of the batch size."
+        )
+    return accum
 
 
 def eval_config_from_args(a) -> EvalConfig:

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..data.normalize import NormStats, normalize_and_assemble
+from ..dist.mesh import device_put_global, fetch_to_host
 from ..nn.popcorn import create_building_score, popcorn_forward
 
 Tree = Dict
@@ -163,10 +164,13 @@ def spatial_builtup_map(
     s2p, _ = _pad_frame(s2, 4 * nd, 4)
     s1p, _ = _pad_frame(s1, 4 * nd, 4)
     sp4 = _row_sharding(mesh, 4)
+    # device_put_global / fetch_to_host: when the 'data' axis spans
+    # processes (multihost pod), commit per-host shards and allgather the
+    # result; single-process they are plain device_put / asarray.
     out = fn(
-        jax.device_put(s2p[None], sp4), jax.device_put(s1p[None], sp4)
+        device_put_global(s2p[None], sp4), device_put_global(s1p[None], sp4)
     )
-    return np.asarray(out)[0, :h, :w]
+    return fetch_to_host(out)[0, :h, :w]
 
 
 def spatial_density_map(
@@ -193,9 +197,9 @@ def spatial_density_map(
     sp4 = _row_sharding(mesh, 4)
     rep = NamedSharding(mesh, P())
     out = fn(
-        jax.device_put(params, rep),
-        jax.device_put(s2p[None], sp4),
-        jax.device_put(s1p[None], sp4),
+        jax.tree.map(lambda a: device_put_global(a, rep), params),
+        device_put_global(s2p[None], sp4),
+        device_put_global(s1p[None], sp4),
     )
-    m = np.asarray(out)[0, :h, :w].astype(np.float32)
+    m = fetch_to_host(out)[0, :h, :w].astype(np.float32)
     return m, float(m.sum())

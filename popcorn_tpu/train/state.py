@@ -39,6 +39,12 @@ from ..nn.popcorn import popcorn_forward
 
 Tree = Dict[str, Any]
 
+# Batch keys carrying one row per sample (everything else — 'photometric'
+# and future batch-level leaves — replicates across microbatches).
+PER_SAMPLE_KEYS = (
+    "S2", "S1", "VIIRS", "admin_mask", "census_idx", "y", "building_counts"
+)
+
 
 @dataclasses.dataclass
 class TrainState:
@@ -163,14 +169,16 @@ def make_train_step(
         b = batch["y"].shape[0]
         mb = b // n_micro
 
-        def split(v):
-            if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == b:
-                return v.reshape((n_micro, mb) + v.shape[1:])
-            return None  # broadcast leaves (e.g. 'photometric') pass via closure
-
-        stacked = {k: split(v) for k, v in batch.items()}
-        shared = {k: batch[k] for k, v in stacked.items() if v is None}
-        stacked = {k: v for k, v in stacked.items() if v is not None}
+        # Split ONLY the known per-sample keys — a shape heuristic would
+        # wrongly scatter the length-4 'photometric' vector across
+        # microbatches whenever B == 4 (JAX's clamped indexing then reads
+        # gamma from beta silently: corrupted gradients, no error).
+        stacked = {
+            k: batch[k].reshape((n_micro, mb) + batch[k].shape[1:])
+            for k in PER_SAMPLE_KEYS
+            if k in batch
+        }
+        shared = {k: v for k, v in batch.items() if k not in stacked}
         keys = jax.random.split(key, n_micro)
 
         def micro(g_sum, xs):

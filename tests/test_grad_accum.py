@@ -88,18 +88,68 @@ def test_accum_equals_manual_microbatch_average(model):
 
 
 def test_accum_popcount_order_and_scalars(model):
-    """aux['popcount'] restacks to input order; scalar aux is the
-    microbatch mean."""
+    """aux['popcount'] restacks to input order: each sample's popcount is
+    a per-sample function of the forward (sparse==dense parity), so it
+    must match the plain step's popcount element-by-element."""
     mcfg, params, consts = model
+    batch = _batch(4, seed=5)
+    pops = {}
+    for accum in (1, 2):
+        tcfg = TrainConfig(grad_accum=accum)
+        optimizer = make_optimizer(tcfg)
+        opt_state = optimizer.init(params)
+        step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+        _, _, aux = step(params, opt_state, batch, jax.random.PRNGKey(3))
+        pops[accum] = np.asarray(aux["popcount"])
+        assert pops[accum].shape == (4,)
+        assert np.isfinite(float(aux["optimization_loss"]))
+    # an order-scrambling restack (e.g. transpose-then-reshape) would
+    # attribute popcounts to the wrong samples
+    np.testing.assert_allclose(pops[2], pops[1], rtol=1e-5)
+
+
+def test_accum_photometric_not_split(model):
+    """B == grad_accum^2-style collisions: a NON-identity length-4
+    'photometric' vector must reach every microbatch whole. A shape
+    heuristic that splits any leading-axis-B array would scatter it
+    (JAX's clamped indexing then reads gamma from beta silently); pin the
+    accumulated loss to the manual microbatch average under a photometric
+    that actually changes the input."""
+    mcfg, params, consts = model
+    batch = _batch(4, seed=9)
+    batch["photometric"] = np.asarray([1.0, 0.8, 1.0, 1.3], np.float32)
+    key = jax.random.PRNGKey(21)
+
     tcfg = TrainConfig(grad_accum=2)
     optimizer = make_optimizer(tcfg)
-    opt_state = optimizer.init(params)
     step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
-    batch = _batch(4, seed=5)
-    _, _, aux = step(params, opt_state, batch, jax.random.PRNGKey(3))
-    assert np.asarray(aux["popcount"]).shape == (4,)
-    assert np.isfinite(float(aux["optimization_loss"]))
-    assert np.isfinite(np.asarray(aux["popcount"])).all()
+    _, _, aux = step(params, optimizer.init(params), batch, key)
+
+    keys = jax.random.split(key, 2)
+    losses = []
+    for i in range(2):
+        mb = {
+            k: (v[2 * i: 2 * i + 2] if k != "photometric" else v)
+            for k, v in batch.items()
+        }
+        tcfg_p = TrainConfig(grad_accum=1)
+        opt_p = make_optimizer(tcfg_p)
+        step_p = make_train_step(mcfg, tcfg_p, consts, NormStats(), opt_p)
+        _, _, aux_p = step_p(params, opt_p.init(params), mb, keys[i])
+        losses.append(float(aux_p["optimization_loss"]))
+    np.testing.assert_allclose(
+        float(aux["optimization_loss"]), np.mean(losses), rtol=1e-6
+    )
+
+
+def test_grad_accum_must_divide_batch_size():
+    from popcorn_tpu.cli.args import train_config_from_args, train_parser
+
+    a = train_parser().parse_args(
+        ["-treg", "rwa", "-tregtrain", "rwa", "-wb", "8", "--grad_accum", "3"]
+    )
+    with pytest.raises(SystemExit, match="does not divide"):
+        train_config_from_args(a)
 
 
 def test_accum_tail_batch_falls_back(model):
@@ -125,7 +175,7 @@ def test_grad_accum_cli_flag():
     from popcorn_tpu.cli.args import train_config_from_args, train_parser
 
     a = train_parser().parse_args(
-        ["-treg", "rwa", "-tregtrain", "rwa", "--grad_accum", "4"]
+        ["-treg", "rwa", "-tregtrain", "rwa", "-wb", "8", "--grad_accum", "4"]
     )
     tcfg = train_config_from_args(a)
     assert tcfg.grad_accum == 4

@@ -46,8 +46,10 @@ def test_pad_frame_multiples_and_crop():
     np.testing.assert_array_equal(p[:10, :7], a)
     # edge replication, not zeros
     np.testing.assert_array_equal(p[10:, :7], np.broadcast_to(a[-1:], (6, 7, 2)))
-    p2, pads = _pad_frame(a[:8, :4], 8, 4)
-    assert pads == (0, 0) and p2 is a[:8, :4] or p2.shape == (8, 4, 2)
+    b = a[:8, :4]
+    p2, pads = _pad_frame(b, 8, 4)
+    assert pads == (0, 0)
+    assert p2 is b  # aligned input passes through uncopied
 
 
 def test_spatial_density_matches_single_device(model):
