@@ -20,6 +20,13 @@ the sharded map matches the single-device map to ULP (the partitioner
 tiles each conv's reduction differently; asserted at rtol 1e-5 in
 tests/test_spatial.py on the virtual CPU mesh). Scalar reductions
 (popcount) additionally differ by psum reduction order.
+
+It is also an ACCURACY feature at any chip count: the patch-stitched
+path inherits the reference's halo-mask convention, which leaves the
+frame's outer `overlap`-px ring with stitch count 0 and hard-zeroes it
+(interior pixels match the exact whole-frame output to 3e-7 — measured
+on-chip, PERF_NOTES.md round 3 cont. 2). The spatial path computes the
+true model output in the border ring too.
 """
 
 from __future__ import annotations

@@ -132,6 +132,32 @@ def test_builtup_map_mesh_path_equals_patch_path(model):
     np.testing.assert_allclose(via_mesh, via_patch, rtol=2e-5, atol=2e-6)
 
 
+def test_patch_stitch_zeroes_border_ring_spatial_fills_it(model):
+    """The patch-stitched path inherits the reference's halo convention:
+    the frame's outer `overlap` ring has stitch count 0 and is zeroed,
+    while interiors equal the exact whole-frame output (overlap > the
+    builder's receptive field). --spatial computes the true border ring."""
+    mcfg, params, consts = model
+    from popcorn_tpu.infer.timeseries import builtup_map
+
+    # overlap must exceed the builder's receptive radius (~22 px: two
+    # pool levels of double 3x3 convs) or reflect-pad contamination
+    # legitimately leaks past the halo mask
+    h, w, ps, ov = 256, 256, 128, 32
+    s2, s1 = _frame(h, w, seed=11)
+    stitched = builtup_map(consts, mcfg, s2, s1, patchsize=ps, overlap=ov)
+    mesh = make_mesh(8)
+    exact = builtup_map(consts, mcfg, s2, s1, mesh=mesh)
+
+    assert (stitched[:ov] == 0).all() and (stitched[:, :ov] == 0).all()
+    assert (stitched[-ov:] == 0).all() and (stitched[:, -ov:] == 0).all()
+    assert np.abs(exact[:ov]).max() > 0  # spatial fills the ring
+    m = 2 * ov
+    np.testing.assert_allclose(
+        stitched[m:-m, m:-m], exact[m:-m, m:-m], rtol=2e-4, atol=2e-5
+    )
+
+
 def test_spatial_fn_reuse_two_frames(model):
     """The jitted spatial builtup fn is shape-polymorphic per shape bucket
     and reusable across frames (one compile per padded shape)."""
