@@ -157,6 +157,15 @@ def eval_parser() -> argparse.ArgumentParser:
                         "extra pixels on TPU HBM)")
     p.add_argument("--patch_overlap", type=int, default=128,
                    help="sliding-window halo (reference overlap=128)")
+    p.add_argument("--spatial", action="store_true",
+                   help="whole-region spatially-partitioned inference: each "
+                        "season's full mosaics upload once with rows sharded "
+                        "over the mesh's 'data' axis and every member runs "
+                        "over the entire region in one sharded forward (XLA "
+                        "halo exchange — no overlap recompute, no stitch, "
+                        "true model output in the border ring the stitched "
+                        "path zeroes). Needs the region to fit sharded in "
+                        "HBM; pods or single chips with small regions")
     # eval-only: int8 must not leak into the training CLI, where it would
     # silently run mid-training validation/best-model selection through
     # quantized inference while the train steps stay f32
@@ -268,4 +277,5 @@ def eval_config_from_args(a) -> EvalConfig:
         device_feed=getattr(a, "device_feed", "auto"),
         patchsize=getattr(a, "patchsize", 2048),
         overlap=getattr(a, "patch_overlap", 128),
+        spatial=getattr(a, "spatial", False),
     )

@@ -382,6 +382,10 @@ class EvalConfig:
     device_feed: str = "auto"  # HBM-resident mosaic feed (infer/device_feed)
     patchsize: int = 2048  # reference inference_patch_size (constants.py:12)
     overlap: int = 128  # reference overlap (constants.py:13)
+    spatial: bool = False  # whole-region spatially-partitioned inference
+    # (rows sharded over the mesh's 'data' axis, XLA halo exchange) instead
+    # of the overlap-stitched sliding window — exact border ring, no
+    # overlap recompute; for pods / regions that fit sharded in HBM
 
     def __post_init__(self):
         # user-settable since round 2: a degenerate pair (patchsize <=

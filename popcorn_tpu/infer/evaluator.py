@@ -148,14 +148,27 @@ class Evaluator:
             # aggregation / dasymmetric adjustment are device segment-sums
             # and gathers (agg/census_agg.py::DeviceCensus), and the host
             # only ever receives the maps it writes to GeoTIFF
-            maps = run_sliding_inference(
-                self.members, self.consts, self.mcfg, ds,
-                stats=self.stats, batch_size=self.ecfg.patch_batch,
-                mesh=self.mesh, progress=True,
-                num_workers=self.ecfg.num_workers,
-                device_feed=getattr(self.ecfg, "device_feed", "auto"),
-                return_device=self.mesh is None,
-            )
+            if getattr(self.ecfg, "spatial", False):
+                # whole-region spatially-partitioned path (--spatial):
+                # exact model output, no stitch (infer/spatial.py)
+                from ..dist.mesh import make_mesh
+                from .spatial import run_spatial_inference
+
+                maps = run_spatial_inference(
+                    self.members, self.consts, self.mcfg, ds,
+                    stats=self.stats,
+                    mesh=self.mesh if self.mesh is not None else make_mesh(),
+                    progress=True,
+                )
+            else:
+                maps = run_sliding_inference(
+                    self.members, self.consts, self.mcfg, ds,
+                    stats=self.stats, batch_size=self.ecfg.patch_batch,
+                    mesh=self.mesh, progress=True,
+                    num_workers=self.ecfg.num_workers,
+                    device_feed=getattr(self.ecfg, "device_feed", "auto"),
+                    return_device=self.mesh is None,
+                )
             is_dev = isinstance(maps["map"], jax.Array)
             writer = _MapWriter(ds) if save else None
             if save:

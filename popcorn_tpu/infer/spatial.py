@@ -180,6 +180,158 @@ def spatial_builtup_map(
     return fetch_to_host(out)[0, :h, :w]
 
 
+def make_spatial_ensemble(
+    mcfg: ModelConfig,
+    consts: Tree,
+    stats: NormStats,
+    n_members: int,
+):
+    """Jitted whole-region ensemble fold for ONE season.
+
+    fn(stacked_params, sample, acc) -> acc with this season's per-member
+    density/scale sums and sums-of-squares added. ``sample`` holds
+    (1,H,W,C) modality arrays (row-sharded by the caller); ``acc`` holds
+    four (H,W) float32 maps. The builder score is computed once and
+    members fold with lax.scan — the same member math as the patch fold
+    (sliding.py::member_forward), just over the whole frame with no mask.
+    """
+    mcfg_sp = _spatial_cfg(mcfg)
+    mcfg_member = dataclasses.replace(mcfg_sp, sentinel_buildings=False)
+    dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None
+
+    def fn(stacked_params, sample, acc):
+        s = {}
+        if mcfg.s2 and "S2" in sample:
+            s["S2"] = sample["S2"].astype(jnp.float32)
+        if mcfg.s1 and "S1" in sample:
+            s["S1"] = sample["S1"]
+        if mcfg.viirs and "VIIRS" in sample:
+            s["VIIRS"] = sample["VIIRS"]
+        x = normalize_and_assemble(s, stats)
+        if mcfg.sentinel_buildings or not mcfg.occupancy_model:
+            score = create_building_score(
+                consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                dtype=dtype, layout="plain",
+            )
+        else:
+            score = sample["building_counts"]
+            if score.ndim == 4:
+                score = score[..., 0]
+        inputs = {"input": x, "building_counts": score}
+        zeros = jnp.zeros(x.shape[:3], jnp.float32)
+
+        def body(carry, params):
+            out = popcorn_forward(
+                params, consts, inputs, mcfg_member,
+                train=False, padding=False, sparse=False,
+            )
+            scale = out["scale"]
+            if scale is None:
+                scale = zeros
+            d = out["popdensemap"].astype(jnp.float32)
+            sc = scale.astype(jnp.float32)
+            ds, dsq, ss, ssq = carry
+            return (ds + d, dsq + d * d, ss + sc, ssq + sc * sc), None
+
+        (ds, dsq, ss, ssq), _ = jax.lax.scan(
+            body, (zeros, zeros, zeros, zeros), stacked_params
+        )
+        return {
+            "dense_sum": acc["dense_sum"] + ds[0],
+            "dense_sq": acc["dense_sq"] + dsq[0],
+            "scale_sum": acc["scale_sum"] + ss[0],
+            "scale_sq": acc["scale_sq"] + ssq[0],
+        }
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+def run_spatial_inference(
+    members,
+    consts: Tree,
+    mcfg: ModelConfig,
+    dataset,
+    *,
+    stats: Optional[NormStats] = None,
+    mesh: Mesh,
+    progress: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Whole-region ensemble inference, spatially partitioned — the
+    stitch-free counterpart of sliding.run_sliding_inference.
+
+    Each season's full mosaics upload once (rows sharded over 'data');
+    every member runs over the entire region in one sharded forward (XLA
+    halo exchange instead of overlap recompute), and the mean/std maps
+    finalize from exact per-pixel member*season statistics. Differences
+    vs the patch path, both by construction: the frame's outer overlap
+    ring holds true model output (the stitched path zeroes it — reference
+    convention), and NaN-bearing mosaics are healed whole-frame rather
+    than per patch window.
+
+    Returns the same dict as the stitched path: map, map_std, scale,
+    scale_std, count (numpy, full resolution, cropped to the region).
+    """
+    from ..data.dataset import interpolate_nan
+    from .device_feed import season_arrays
+    from .sliding import stack_ensemble
+
+    stats = stats or NormStats()
+    nd = data_axis_size(mesh)
+    h, w = dataset.shape()
+    rep = NamedSharding(mesh, P())
+    sp4 = _row_sharding(mesh, 4)
+    row2 = NamedSharding(mesh, P("data", None))
+
+    stacked = jax.tree.map(
+        lambda a: device_put_global(a, rep), stack_ensemble(list(members))
+    )
+    fold = make_spatial_ensemble(mcfg, consts, stats, len(members))
+
+    hp = h + ((-h) % (4 * nd))
+    wp = w + ((-w) % 4)
+    acc = {
+        k: jax.device_put(jnp.zeros((hp, wp), jnp.float32), row2)
+        for k in ("dense_sum", "dense_sq", "scale_sum", "scale_sq")
+    }
+
+    seasons = range(4) if dataset.fourseasons else (0,)
+    n_seasons = 0
+    for si in seasons:
+        mosaics, _nan_q = season_arrays(dataset, si)
+        sample = {}
+        for k, arr in mosaics.items():
+            a = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+            if a.dtype.kind == "f" and np.isnan(a).any():
+                # whole-frame healing (the patch path heals per window;
+                # identical wherever a window holds the NaN's full
+                # interpolation neighbourhood)
+                a = interpolate_nan(np.ascontiguousarray(a, np.float32))
+            a, _ = _pad_frame(a, 4 * nd, 4)
+            sample[k] = device_put_global(a[None], sp4)
+        acc = fold(stacked, sample, acc)
+        n_seasons += 1
+        if progress:
+            print(f"spatial season {si}: folded {len(members)} members")
+
+    maps = {k: fetch_to_host(v)[:h, :w] for k, v in acc.items()}
+    cnt = len(members) * n_seasons
+    if cnt > 1:
+        mean = maps["dense_sum"] / cnt
+        var = (maps["dense_sq"] - mean**2 * cnt) / (cnt - 1.0)
+        smean = maps["scale_sum"] / cnt
+        svar = (maps["scale_sq"] - smean**2 * cnt) / (cnt - 1.0)
+    else:
+        mean, smean = maps["dense_sum"], maps["scale_sum"]
+        var = svar = np.zeros_like(mean)
+    return {
+        "map": mean.astype(np.float32),
+        "map_std": np.sqrt(np.maximum(var, 0.0), dtype=np.float32),
+        "scale": smean.astype(np.float32),
+        "scale_std": np.sqrt(np.maximum(svar, 0.0), dtype=np.float32),
+        "count": np.full((h, w), cnt, np.int32),
+    }
+
+
 def spatial_density_map(
     params: Tree,
     consts: Tree,

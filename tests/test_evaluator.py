@@ -71,3 +71,64 @@ def test_evaluator_end_to_end(setup, monkeypatch):
     # detail maps (--full)
     det = glob.glob(os.path.join(f, "rwa_coarse", "*_totals.tif"))
     assert det, "detail maps missing"
+
+
+def test_evaluator_spatial_matches_stitched_interior(setup):
+    """--spatial (whole-region spatially-partitioned inference) against the
+    stitched sliding window on the same members: interiors agree wherever
+    the stitch's halo geometry guarantees uncontaminated coverage, the
+    stitched map's border ring is zero while the spatial map holds true
+    model output, and the census products/metrics come out finite."""
+    paths, mcfg, cks, consts = setup
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.dist.mesh import make_mesh
+    from popcorn_tpu.infer.evaluator import load_member
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.infer.spatial import run_spatial_inference
+
+    members = [load_member(p)[0] for p in cks]
+    # overlap 32 > the extractor's ~22 px receptive radius: stitched
+    # interiors are exact
+    ds = PopulationDataset(paths, "rwa", mode="test", patchsize=128,
+                           overlap=32, fourseasons=False,
+                           train_level="coarse")
+    stitched = run_sliding_inference(members, consts, mcfg, ds)
+    mesh = make_mesh(8)
+    spatial = run_spatial_inference(members, consts, mcfg, ds, mesh=mesh)
+
+    h, w = ds.shape()
+    assert spatial["map"].shape == (h, w)
+    ov = 32
+    assert (stitched["map"][:ov] == 0).all()
+    assert np.abs(spatial["map"][:ov]).max() > 0
+    m = 2 * ov
+    for k in ("map", "map_std", "scale", "scale_std"):
+        np.testing.assert_allclose(
+            spatial[k][m:-m, m:-m], stitched[k][m:-m, m:-m],
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    assert (spatial["count"] == 2).all()  # 2 members x 1 season
+
+
+def test_evaluator_end_to_end_spatial(setup):
+    """The --spatial evaluator produces the full product set + metrics."""
+    paths, mcfg, cks, consts = setup
+    ecfg = EvalConfig(
+        target_regions=("rwa",), train_level=("coarse",),
+        checkpoints=tuple(cks), fourseasons=False, spatial=True,
+    )
+    ev = Evaluator(paths, mcfg, ecfg, consts=consts)
+    from popcorn_tpu.data.dataset import PopulationDataset
+
+    ev.datasets = [
+        PopulationDataset(paths, "rwa", mode="test", patchsize=96, overlap=16,
+                          fourseasons=False, train_level="coarse")
+    ]
+    out = ev.test_target(save=True)
+    assert np.isfinite(out["Population_AdjCensus_rwa_coarse/r2"])
+    # no zeroed border ring -> every census region is adjustable; totals
+    # match the census exactly at the train level
+    assert out["Population_AdjCensus_rwa_coarse/r2"] > 0.999
+    f = ev.experiment_folder
+    for tag in ("", "STD", "SCALE_rwa", "SCALE_STD", "ADJ_rwa"):
+        assert os.path.exists(os.path.join(f, f"rwa_predictions{tag}.tif")), tag
