@@ -237,6 +237,55 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
             out["census_agg_s"] = round(t_census, 2)
             out["geotiff_write_s"] = round(t_write, 2)
         ds.close()
+
+    # Whole-region spatially-partitioned eval (run_eval --spatial,
+    # infer/spatial.py): seasons upload once, every member runs the whole
+    # region in ONE forward — no overlap recompute (the 2048/128 stitch
+    # pays 1.31x pixels), no stitch, exact border ring. Single chip
+    # handles ~6k^2 full-res plain-layout activations; bigger regions
+    # need the pod (rows shard over 'data').
+    sp_est = (
+        size * size * 64 / 1e6 / up  # re-upload the 4 seasons
+        + size * size * 16 / 1e6 / down  # 4 f32 maps fetched at finalize
+        + 120
+    )
+    if size > 6144:
+        out["spatial"] = {"skipped": f"{size}^2 exceeds single-chip HBM"}
+    elif time.time() + sp_est > deadline:
+        msg = f"skipped: est {sp_est:.0f}s exceeds remaining bench budget"
+        log(f"full_pipeline[spatial] {msg}")
+        out["spatial"] = {"skipped": msg}
+    else:
+        try:
+            from popcorn_tpu.dist.mesh import make_mesh
+            from popcorn_tpu.infer.spatial import run_spatial_inference
+
+            ds = PopulationDataset(
+                paths, "rwa", mode="test", patchsize=2048, overlap=128,
+                s1=True, s2=True, nir=True, fourseasons=True,
+            )
+            t0 = time.time()
+            maps_sp = run_spatial_inference(
+                members, consts, mcfg, ds, stats=NormStats(),
+                mesh=make_mesh(),
+            )
+            t_sp = time.time() - t0
+            h, w = ds.shape()
+            n_eq = h * w * 4 / 2048**2  # exact pixels in 2048^2-patch units
+            log(
+                f"full_pipeline[spatial]: whole-region x4 seasons in "
+                f"{t_sp:.1f}s -> {n_eq / t_sp:.2f} exact-2048^2-equiv/s "
+                f"(stitched path computes 1.31x these pixels)"
+            )
+            out["spatial"] = {
+                "eval_s": round(t_sp, 2),
+                "equiv_patches_per_sec": round(n_eq / t_sp, 3),
+            }
+            del maps_sp
+            ds.close()
+        except Exception as e:
+            log(f"full_pipeline[spatial] failed: {type(e).__name__}: {e}")
+            out["spatial"] = {"error": str(e)[:200]}
     return out
 
 
