@@ -74,6 +74,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--resume", type=str, default=None)
     p.add_argument("-tregtrain", "--target_regions_train", nargs="+", default=["rwa"])
     p.add_argument("-wb", "--weak_batch_size", type=int, default=2)
+    p.add_argument("--spatial_train", action="store_true",
+                   help="with --data_parallel N: shard each sample's rows "
+                        "over the mesh instead of the batch — census-region "
+                        "crops beyond one chip's HBM train across the mesh "
+                        "(XLA halo exchange) instead of being tier-skipped; "
+                        "raise -lim1/-lim2/-lim3 accordingly")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer update: the jitted step "
                         "scans N microbatches of batch/N samples and applies "
@@ -243,6 +249,7 @@ def train_config_from_args(a) -> TrainConfig:
         multihost=a.multihost,
         watch_every=a.watch_every,
         device_feed=getattr(a, "device_feed", "auto"),
+        spatial_train=getattr(a, "spatial_train", False),
         grad_accum=_validated_grad_accum(a),
     )
 

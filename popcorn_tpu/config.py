@@ -359,6 +359,10 @@ class TrainConfig:
     watch_every: int = 0  # >0: log per-layer grad norms + param histograms
     # every N iters (the reference's wandb.watch, run_train.py:75)
     device_feed: str = "auto"  # HBM-resident training feed (device_weaksup)
+    spatial_train: bool = False  # shard each sample's ROWS over the 'data'
+    # mesh axis instead of the batch: census-region crops beyond one chip's
+    # HBM train across the mesh (XLA halo exchange + loss psum) instead of
+    # being tier-skipped above -lim3 like the reference
     grad_accum: int = 1  # microbatches per optimizer update: the jitted
     # step lax.scans grad_accum microbatches of B/grad_accum samples and
     # applies ONE averaged update — peak activation HBM drops ~grad_accum x

@@ -176,6 +176,30 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], *, batch_keys: Sequence[str])
     return out
 
 
+def shard_batch_spatial(
+    batch: Dict, mesh: Optional[Mesh], *, row_keys: Sequence[str]
+) -> Dict:
+    """device_put a host batch for SPATIALLY-sharded training: listed
+    (B,H,W[,C]) keys split on the ROW axis (axis 1) over 'data', the rest
+    replicated. XLA's SPMD partitioner inserts the conv/pool halo
+    exchanges and psums the spatial loss reductions — one census-region
+    crop larger than a single chip's HBM trains across the mesh instead
+    of being tier-skipped (the reference drops samples above -lim3,
+    run_train.py:190-198)."""
+    if mesh is None:
+        return batch
+    rows = NamedSharding(mesh, P(None, "data"))
+    rep = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v
+            continue
+        sh = rows if (k in row_keys and np.ndim(v) >= 3) else rep
+        out[k] = device_put_global(v, sh)
+    return out
+
+
 def pad_batch_to_multiple(batch: Dict, multiple: int, batch_keys: Sequence[str]) -> Dict:
     """Pad the leading axis so it divides the mesh size; adds/extends a
     'valid' bool mask so padded rows are ignored downstream."""

@@ -127,7 +127,13 @@ class Trainer:
         )
         self.feed = None
         dev_feed = getattr(tcfg, "device_feed", "auto")
-        single_proc = tcfg.data_parallel == 1 and not tcfg.multihost
+        single_proc = (
+            tcfg.data_parallel == 1
+            and not tcfg.multihost
+            # spatial_train commits batches row-sharded over the mesh; the
+            # device feed assembles them on ONE device — incompatible
+            and not getattr(tcfg, "spatial_train", False)
+        )
         if dev_feed == "on" and not single_proc:
             raise Ineligible(
                 "--device_feed on requires a single-process, non-data-"
@@ -170,7 +176,9 @@ class Trainer:
         # replicated; XLA inserts the gradient psum (the capability the
         # reference lacks, SURVEY.md par.2.2)
         self.mesh = None
-        if tcfg.multihost or tcfg.data_parallel > 1:
+        if tcfg.multihost or tcfg.data_parallel > 1 or getattr(
+            tcfg, "spatial_train", False
+        ):
             from ..dist.mesh import make_mesh, make_multihost_mesh, replicated
 
             if tcfg.multihost:
@@ -187,9 +195,18 @@ class Trainer:
                     tcfg.data_parallel if tcfg.data_parallel > 1 else None
                 )
             else:
-                self.mesh = make_mesh(tcfg.data_parallel)
+                # --spatial_train with no explicit --data_parallel: mesh
+                # over every available device (rows shard, not the batch)
+                self.mesh = make_mesh(
+                    tcfg.data_parallel if tcfg.data_parallel > 1 else None
+                )
             n_mesh = self.mesh.shape["data"]
-            if tcfg.weak_batch_size % n_mesh != 0:
+            if (
+                not getattr(tcfg, "spatial_train", False)
+                and tcfg.weak_batch_size % n_mesh != 0
+            ):
+                # spatial_train shards ROWS, not the batch — the batch
+                # divisibility constraint does not apply there
                 raise ValueError(
                     f"weak_batch_size ({tcfg.weak_batch_size}) must be divisible "
                     f"by the data mesh size ({n_mesh})"
@@ -266,6 +283,16 @@ class Trainer:
         # explicit device_put: jit's implicit host->device conversion is
         # far slower than a bulk transfer (measured ~10x on the tunnel)
         if self.mesh is not None:
+            if getattr(self.tcfg, "spatial_train", False):
+                # rows (not samples) shard over 'data': one census-region
+                # crop spans the mesh (XLA halo exchange + loss psum)
+                from ..dist.mesh import shard_batch_spatial
+
+                return shard_batch_spatial(
+                    dev_batch, self.mesh,
+                    row_keys=("S2", "S1", "VIIRS", "building_counts",
+                              "admin_mask"),
+                )
             from ..dist.mesh import shard_batch
 
             return shard_batch(

@@ -169,3 +169,47 @@ def test_spatial_fn_reuse_two_frames(model):
         out = spatial_builtup_map(consts, mcfg, s2, s1, mesh, _fn=fn)
         assert out.shape == (64, 64)
         assert np.isfinite(out).all()
+
+
+def test_spatial_train_step_matches_single_device(model):
+    """--spatial_train: the SAME jitted train step with the sample's rows
+    sharded over 'data' (shard_batch_spatial) must produce the
+    single-device result — XLA inserts halo exchanges for the convs and
+    psums the spatial loss reductions; the math is unchanged."""
+    from popcorn_tpu.config import TrainConfig
+    from popcorn_tpu.dist.mesh import shard_batch_spatial
+    from popcorn_tpu.train.state import make_optimizer, make_train_step
+
+    mcfg, params, consts = model
+    tcfg = TrainConfig()
+    rng = np.random.default_rng(4)
+    b, h, w = 1, 64, 64
+    batch = {
+        "S2": rng.uniform(0, 4000, (b, h, w, 4)).astype(np.float32),
+        "S1": rng.uniform(-25, 0, (b, h, w, 2)).astype(np.float32),
+        "admin_mask": np.ones((b, h, w), np.float32),
+        "census_idx": np.ones((b,), np.float32),
+        "y": np.asarray([400.0], np.float32),
+        "photometric": np.asarray([1.0, 0.9, 1.0, 1.1], np.float32),
+    }
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mcfg, tcfg, consts, NormStats(), optimizer)
+    key = jax.random.PRNGKey(5)
+
+    p_ref, _, aux_ref = step(params, opt_state, batch, key)
+
+    mesh = make_mesh(8)
+    dev_batch = shard_batch_spatial(
+        batch, mesh, row_keys=("S2", "S1", "admin_mask")
+    )
+    p_sp, _, aux_sp = step(params, opt_state, dev_batch, key)
+
+    np.testing.assert_allclose(
+        float(aux_sp["optimization_loss"]),
+        float(aux_ref["optimization_loss"]), rtol=1e-5,
+    )
+    for a, b_ in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-7
+        )

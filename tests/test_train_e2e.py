@@ -117,3 +117,34 @@ def test_lr_schedule(trainer):
     assert step_lr(1e-4, 4, 5, 0.75) == 1e-4
     assert abs(step_lr(1e-4, 5, 5, 0.75) - 0.75e-4) < 1e-12
     assert abs(step_lr(1e-4, 10, 5, 0.75) - 0.5625e-4) < 1e-12
+
+
+def test_spatial_train_epoch(synth, tmp_path_factory):
+    """--spatial_train end-to-end: the trainer builds a mesh over all
+    devices, commits each batch with rows sharded over 'data', and an
+    epoch runs to finite losses (CPU mesh, 8 virtual devices)."""
+    mcfg = ModelConfig(pretrained=True, biasinit=0.9407)
+    tcfg = TrainConfig(
+        target_regions=("rwa",),
+        target_regions_train=("rwa",),
+        train_level=("coarse",),
+        num_epochs=1,
+        weak_batch_size=1,
+        bucket_ladder=(128, 256, 512),
+        logstep_train=2,
+        save_dir=str(tmp_path_factory.mktemp("outputs_sp")),
+        val_every_n_epochs=100,
+        spatial_train=True,
+        max_samples=2,
+    )
+    tr = Trainer(synth, mcfg, tcfg, inference_patch=128, inference_overlap=16)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    import jax
+
+    # the batch really is row-sharded on device
+    dev, host, _ = next(tr._lookahead_batches(0))
+    sh = dev["S2"].sharding
+    spec = getattr(sh, "spec", None)
+    assert spec is not None and tuple(spec)[:2] == (None, "data"), spec
+    stats = tr.train_epoch()
+    assert np.isfinite(stats["optimization_loss/train"])
