@@ -185,19 +185,76 @@ def make_spatial_ensemble(
     consts: Tree,
     stats: NormStats,
     n_members: int,
+    n_ensemble: int = 1,
+    mesh: Optional[Mesh] = None,
 ):
     """Jitted whole-region ensemble fold for ONE season.
 
     fn(stacked_params, sample, acc) -> acc with this season's per-member
     density/scale sums and sums-of-squares added. ``sample`` holds
     (1,H,W,C) modality arrays (row-sharded by the caller); ``acc`` holds
-    four (H,W) float32 maps. The builder score is computed once and
-    members fold with lax.scan — the same member math as the patch fold
+    four (H,W) float32 maps. The builder score is computed once; members
+    fold with lax.scan — the same member math as the patch fold
     (sliding.py::member_forward), just over the whole frame with no mask.
+
+    n_ensemble > 1 (2-D ``(data, ensemble)`` mesh, requires ``mesh``):
+    the member fold runs under ``jax.shard_map`` MANUAL over 'ensemble'
+    (each shard lax.maps its local members, one index-masked partial sum,
+    one psum) while 'data' stays AUTO — the conv rows keep their SPMD
+    spatial partitioning inside the manual region. NOTE this is
+    deliberately NOT the pure-SPMD formulation (member-sharded vmap):
+    that lowers through an "involuntary full rematerialization" in XLA's
+    partitioner and produced WRONG maps at ensemble=4 on the 8-device CPU
+    mesh (maxdiff 0.16 with no padding in play) — the manual-ensemble
+    shard_map is exact (tests/test_evaluator.py::
+    test_spatial_inference_2d_mesh_matches_1d). Padded member slots
+    (pad_stacked_members) are masked by global index; member summation
+    order differs from the scan fold (allclose, not bit-equal).
     """
     mcfg_sp = _spatial_cfg(mcfg)
     mcfg_member = dataclasses.replace(mcfg_sp, sentinel_buildings=False)
     dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None
+
+    def member_maps(params, inputs):
+        out = popcorn_forward(
+            params, consts, inputs, mcfg_member,
+            train=False, padding=False, sparse=False,
+        )
+        d = out["popdensemap"].astype(jnp.float32)
+        scale = out["scale"]
+        sc = d * 0.0 if scale is None else scale.astype(jnp.float32)
+        return d, sc
+
+    def local_fold(stacked_local, x, score):
+        """One 'ensemble' shard: fold its local members, mask padded
+        slots by GLOBAL index, psum the four partial sums."""
+        inputs = {"input": x, "building_counts": score}
+        d_loc, s_loc = jax.lax.map(
+            lambda p: member_maps(p, inputs), stacked_local
+        )
+        m_local = d_loc.shape[0]
+        idx = jax.lax.axis_index("ensemble") * m_local + jnp.arange(m_local)
+        v = (idx < n_members).astype(jnp.float32)[:, None, None, None]
+        d_loc = d_loc * v
+        s_loc = s_loc * v
+        sums = (
+            d_loc.sum(0),
+            (d_loc * d_loc).sum(0),
+            s_loc.sum(0),
+            (s_loc * s_loc).sum(0),
+        )
+        return tuple(jax.lax.psum(t, "ensemble") for t in sums)
+
+    if n_ensemble > 1:
+        if mesh is None:
+            raise ValueError("n_ensemble > 1 requires the mesh")
+        ens_fold = jax.shard_map(
+            local_fold, mesh=mesh,
+            in_specs=(P("ensemble"), P(), P()),
+            out_specs=P(),
+            axis_names={"ensemble"},
+            check_vma=False,
+        )
 
     def fn(stacked_params, sample, acc):
         s = {}
@@ -220,22 +277,17 @@ def make_spatial_ensemble(
         inputs = {"input": x, "building_counts": score}
         zeros = jnp.zeros(x.shape[:3], jnp.float32)
 
-        def body(carry, params):
-            out = popcorn_forward(
-                params, consts, inputs, mcfg_member,
-                train=False, padding=False, sparse=False,
-            )
-            scale = out["scale"]
-            if scale is None:
-                scale = zeros
-            d = out["popdensemap"].astype(jnp.float32)
-            sc = scale.astype(jnp.float32)
-            ds, dsq, ss, ssq = carry
-            return (ds + d, dsq + d * d, ss + sc, ssq + sc * sc), None
+        if n_ensemble > 1:
+            ds, dsq, ss, ssq = ens_fold(stacked_params, x, score)
+        else:
+            def body(carry, params):
+                d, sc = member_maps(params, inputs)
+                ds, dsq, ss, ssq = carry
+                return (ds + d, dsq + d * d, ss + sc, ssq + sc * sc), None
 
-        (ds, dsq, ss, ssq), _ = jax.lax.scan(
-            body, (zeros, zeros, zeros, zeros), stacked_params
-        )
+            (ds, dsq, ss, ssq), _ = jax.lax.scan(
+                body, (zeros, zeros, zeros, zeros), stacked_params
+            )
         return {
             "dense_sum": acc["dense_sum"] + ds[0],
             "dense_sq": acc["dense_sq"] + dsq[0],
@@ -272,20 +324,34 @@ def run_spatial_inference(
     scale_std, count (numpy, full resolution, cropped to the region).
     """
     from ..data.dataset import interpolate_nan
+    from ..dist.mesh import ensemble_size
     from .device_feed import season_arrays
-    from .sliding import stack_ensemble
+    from .sliding import pad_stacked_members, stack_ensemble
 
     stats = stats or NormStats()
     nd = data_axis_size(mesh)
+    ne = ensemble_size(mesh)
     h, w = dataset.shape()
     rep = NamedSharding(mesh, P())
     sp4 = _row_sharding(mesh, 4)
     row2 = NamedSharding(mesh, P("data", None))
 
-    stacked = jax.tree.map(
-        lambda a: device_put_global(a, rep), stack_ensemble(list(members))
+    stacked = stack_ensemble(list(members))
+    if ne > 1:
+        # 2-D (data, ensemble) mesh: member axis shards over 'ensemble',
+        # every member runs concurrently over its devices' row shards
+        stacked = pad_stacked_members(stacked, len(members), ne)
+        mem_sh = NamedSharding(mesh, P("ensemble"))
+        stacked = jax.tree.map(
+            lambda a: device_put_global(a, mem_sh), stacked
+        )
+    else:
+        stacked = jax.tree.map(
+            lambda a: device_put_global(a, rep), stacked
+        )
+    fold = make_spatial_ensemble(
+        mcfg, consts, stats, len(members), n_ensemble=ne, mesh=mesh
     )
-    fold = make_spatial_ensemble(mcfg, consts, stats, len(members))
 
     hp = h + ((-h) % (4 * nd))
     wp = w + ((-w) % 4)

@@ -132,3 +132,26 @@ def test_evaluator_end_to_end_spatial(setup):
     f = ev.experiment_folder
     for tag in ("", "STD", "SCALE_rwa", "SCALE_STD", "ADJ_rwa"):
         assert os.path.exists(os.path.join(f, f"rwa_predictions{tag}.tif")), tag
+
+
+def test_spatial_inference_2d_mesh_matches_1d(setup):
+    """run_spatial_inference on the 2-D (data=2, ensemble=4) mesh — members
+    vmapped with the member axis sharded over 'ensemble', rows over 'data'
+    — must match the 1-D scan fold (summation order differs: allclose)."""
+    paths, mcfg, cks, consts = setup
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.dist.mesh import make_mesh
+    from popcorn_tpu.infer.evaluator import load_member
+    from popcorn_tpu.infer.spatial import run_spatial_inference
+
+    members = [load_member(p)[0] for p in cks]
+    ds = PopulationDataset(paths, "rwa", mode="test", patchsize=128,
+                           overlap=32, fourseasons=False,
+                           train_level="coarse")
+    m1 = run_spatial_inference(members, consts, mcfg, ds, mesh=make_mesh(8))
+    m2 = run_spatial_inference(
+        members, consts, mcfg, ds, mesh=make_mesh(2, n_ensemble=4)
+    )
+    for k in ("map", "map_std", "scale", "scale_std"):
+        np.testing.assert_allclose(m2[k], m1[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
