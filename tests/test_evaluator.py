@@ -155,3 +155,34 @@ def test_spatial_inference_2d_mesh_matches_1d(setup):
     for k in ("map", "map_std", "scale", "scale_std"):
         np.testing.assert_allclose(m2[k], m1[k], rtol=2e-4, atol=2e-5,
                                    err_msg=k)
+
+
+def test_spatial_inference_fourseasons_viirs(tmp_path_factory):
+    """Spatial eval folds all four seasons and carries VIIRS: count is
+    members x seasons everywhere and the maps stay finite; interiors
+    match the stitched path per season-averaged semantics."""
+    root = str(tmp_path_factory.mktemp("eval_fs"))
+    paths = make_synthetic_region(root, "rwa", height=192, width=256,
+                                  seed=33, with_viirs=True)
+    mcfg = ModelConfig(pretrained=False, viirs=True)
+    params, consts = init_popcorn(jax.random.PRNGKey(7), mcfg)
+
+    from popcorn_tpu.data.dataset import PopulationDataset
+    from popcorn_tpu.dist.mesh import make_mesh
+    from popcorn_tpu.infer.sliding import run_sliding_inference
+    from popcorn_tpu.infer.spatial import run_spatial_inference
+
+    ds = PopulationDataset(paths, "rwa", mode="test", patchsize=128,
+                           overlap=32, fourseasons=True, viirs=True,
+                           train_level="coarse")
+    spatial = run_spatial_inference([params], consts, mcfg, ds,
+                                    mesh=make_mesh(8))
+    assert (spatial["count"] == 4).all()  # 1 member x 4 seasons
+    assert np.isfinite(spatial["map"]).all()
+
+    stitched = run_sliding_inference([params], consts, mcfg, ds)
+    m = 64
+    np.testing.assert_allclose(
+        spatial["map"][m:-m, m:-m], stitched["map"][m:-m, m:-m],
+        rtol=2e-4, atol=2e-5,
+    )
