@@ -244,14 +244,19 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
     # pays 1.31x pixels), no stitch, exact border ring. Single chip
     # handles ~6k^2 full-res plain-layout activations; bigger regions
     # need the pod (rows shard over 'data').
+    # Single-chip ceiling measured empirically: 4096^2 whole-region bf16
+    # compiles and runs; 4608^2 crashes the compile with an HBM overflow
+    # (member-scan keeps one member's full-res plain-layout activations
+    # live). Bigger regions are the pod case (rows shard over 'data');
+    # the bench clamps its spatial stage to the measured single-chip max.
+    sp_size = min(size, 4096)
     sp_est = (
-        size * size * 64 / 1e6 / up  # re-upload the 4 seasons
-        + size * size * 16 / 1e6 / down  # 4 f32 maps fetched at finalize
+        sp_size * sp_size * 64 / 1e6 / up  # upload the 4 seasons
+        + sp_size * sp_size * 16 / 1e6 / down  # 4 f32 maps at finalize
+        + (_gen_estimate_s(sp_size) if sp_size != size else 0)
         + 120
     )
-    if size > 6144:
-        out["spatial"] = {"skipped": f"{size}^2 exceeds single-chip HBM"}
-    elif time.time() + sp_est > deadline:
+    if time.time() + sp_est > deadline:
         msg = f"skipped: est {sp_est:.0f}s exceeds remaining bench budget"
         log(f"full_pipeline[spatial] {msg}")
         out["spatial"] = {"skipped": msg}
@@ -260,8 +265,11 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
             from popcorn_tpu.dist.mesh import make_mesh
             from popcorn_tpu.infer.spatial import run_spatial_inference
 
+            sp_paths = (
+                paths if sp_size == size else _ensure_bench_region(sp_size)
+            )
             ds = PopulationDataset(
-                paths, "rwa", mode="test", patchsize=2048, overlap=128,
+                sp_paths, "rwa", mode="test", patchsize=2048, overlap=128,
                 s1=True, s2=True, nir=True, fourseasons=True,
             )
             t0 = time.time()
@@ -280,6 +288,7 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
             out["spatial"] = {
                 "eval_s": round(t_sp, 2),
                 "equiv_patches_per_sec": round(n_eq / t_sp, 3),
+                "region_px": sp_size,
             }
             del maps_sp
             ds.close()
