@@ -8,7 +8,21 @@ module supplies the idiomatic TPU equivalents:
     the psum for gradient sync automatically);
   * an optional ``ensemble`` axis for Bag-of-POPCORN members
     (run_eval.py:49-53 evaluates 5 members sequentially on one GPU; on a
-    mesh each member/patch pair lands on its own chip).
+    mesh each member/patch pair lands on its own chip);
+  * spatial ('sp') sharding of a frame's row axis for whole-frame
+    inference and over-HBM training crops (shard_batch_spatial,
+    infer/spatial.py) — XLA inserts the conv halo exchanges.
+
+Tensor and pipeline parallelism are deliberately ABSENT: the model's
+widest layer is 64 channels (head 1x1 convs) and the UNet streams are
+8/16 channels (SURVEY.md §2.4) — a channel shard would put <1 MXU tile
+per chip and pay an all-reduce per layer, and a layer pipeline would
+bubble on a 2-deep UNet. The scaling playbook's recipe for this shape
+is exactly the composition shipped here: patches x members x rows
+(data x ensemble x spatial) saturates a pod at ~1650-way parallelism on
+a country eval before TP/PP could contribute; the reference's own
+"model-parallel analogue" (memory-tier grad freezing, run_train.py:
+190-198) is instead superseded by spatial training + --remat.
 
 All helpers degrade gracefully to single-device when the mesh is None.
 """

@@ -285,3 +285,81 @@ def test_quantize_is_eval_only_cli():
     assert ev.quantize == "int8"
     with _pytest.raises(SystemExit):
         train_parser().parse_args(["--quantize", "int8"])
+
+
+# -- examples/commands.md doc-drift guard --------------------------------------
+
+
+def _doc_commands():
+    """Yield (program, merged command string) for every code line in
+    examples/commands.md, with backslash continuations joined."""
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "commands.md")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    buf = ""
+    for ln in lines:
+        if not ln.startswith("    "):  # markdown code blocks are indented
+            continue
+        buf += " " + ln.strip()
+        if buf.endswith("\\"):
+            buf = buf[:-1]
+            continue
+        cmd, buf = buf.strip(), ""
+        for prog in ("run_train.py", "run_eval.py", "run_timeseries.py"):
+            if f"python {prog}" in cmd:
+                yield prog, cmd
+
+
+def _flags_in(cmd):
+    for tok in cmd.split():
+        if not tok.startswith("-") or tok in ("-", "--"):
+            continue
+        try:
+            float(tok)  # skip negative numbers (bbox coords)
+            continue
+        except ValueError:
+            pass
+        yield tok.split("=")[0]
+
+
+def _source_flags(py_path):
+    """Option strings declared via add_argument in a CLI module's source
+    (the builtup parser is constructed inline in main())."""
+    import re
+
+    with open(py_path) as f:
+        src = f.read()
+    return set(re.findall(r'add_argument\(\s*"(-[^"]+)"(?:,\s*"(-[^"]+)")?', src))
+
+
+def test_examples_commands_flags_exist():
+    """Every flag shown in examples/commands.md must be accepted by the
+    parser of the CLI it documents — the command-doc analogue of the
+    round-2 citation-drift finding."""
+    from popcorn_tpu.cli.args import eval_parser, train_parser
+
+    known = {
+        "run_train.py": {
+            s for a in train_parser()._actions for s in a.option_strings
+        },
+        "run_eval.py": {
+            s for a in eval_parser()._actions for s in a.option_strings
+        },
+    }
+    ts_src = os.path.join(
+        os.path.dirname(__file__), "..", "popcorn_tpu", "cli", "timeseries.py"
+    )
+    known["run_timeseries.py"] = (
+        {s for a in eval_parser()._actions for s in a.option_strings}
+        | {f for pair in _source_flags(ts_src) for f in pair if f}
+    )
+
+    checked = 0
+    for prog, cmd in _doc_commands():
+        for flag in _flags_in(cmd):
+            assert flag in known[prog], (
+                f"examples/commands.md documents {flag!r} for {prog}, "
+                f"which its parser does not accept"
+            )
+            checked += 1
+    assert checked > 40  # the doc really was parsed
