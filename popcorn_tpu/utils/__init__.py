@@ -46,6 +46,16 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
+    # jax's cache singleton binds to the directory in effect at FIRST use;
+    # if a cache was already initialized in this process (e.g. the test
+    # conftest's), re-pointing the config alone would silently keep writing
+    # to the old directory — reset so the new path takes effect.
+    from jax._src.compilation_cache import reset_cache
+
+    try:
+        reset_cache()
+    except Exception:  # not initialized yet — nothing to reset
+        pass
     # Cache everything: the executables here are few and reused verbatim,
     # so the default 1 s / 64-byte thresholds only lose hits.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
