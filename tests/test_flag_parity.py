@@ -299,6 +299,9 @@ def _doc_commands():
     buf = ""
     for ln in lines:
         if not ln.startswith("    "):  # markdown code blocks are indented
+            # ADVICE r3: a prose/blank line ends any pending backslash
+            # continuation — never splice two unrelated code blocks.
+            buf = ""
             continue
         buf += " " + ln.strip()
         if buf.endswith("\\"):
@@ -322,13 +325,19 @@ def _flags_in(cmd):
         yield tok.split("=")[0]
 
 
-def _source_flags(py_path):
+def _source_flags(py_path, start=None, stop=None):
     """Option strings declared via add_argument in a CLI module's source
-    (the builtup parser is constructed inline in main())."""
+    (the builtup parser is constructed inline in main()).  ``start``/``stop``
+    scope the scan to the source between those two markers so per-subcommand
+    flag sets don't bleed into each other (ADVICE round 3)."""
     import re
 
     with open(py_path) as f:
         src = f.read()
+    if start is not None:
+        src = src.split(start, 1)[1]
+    if stop is not None:
+        src = src.split(stop, 1)[0]
     return set(re.findall(r'add_argument\(\s*"(-[^"]+)"(?:,\s*"(-[^"]+)")?', src))
 
 
@@ -349,16 +358,42 @@ def test_examples_commands_flags_exist():
     ts_src = os.path.join(
         os.path.dirname(__file__), "..", "popcorn_tpu", "cli", "timeseries.py"
     )
-    known["run_timeseries.py"] = (
-        {s for a in eval_parser()._actions for s in a.option_strings}
-        | {f for pair in _source_flags(ts_src) for f in pair if f}
-    )
+    # ADVICE r3: validate each run_timeseries.py subcommand against ITS
+    # parser's flags only — the builtup inline parser vs the population
+    # eval_parser extension — so a builtup-only flag documented on a
+    # population command (or vice versa) fails the guard.
+    known["run_timeseries.py builtup"] = {
+        f
+        for pair in _source_flags(
+            ts_src, start='mode == "builtup"', stop='mode == "population"'
+        )
+        for f in pair
+        if f
+    }
+    known["run_timeseries.py population"] = {
+        s for a in eval_parser()._actions for s in a.option_strings
+    } | {
+        f
+        for pair in _source_flags(ts_src, start='mode == "population"')
+        for f in pair
+        if f
+    }
 
     checked = 0
     for prog, cmd in _doc_commands():
+        key = prog
+        if prog == "run_timeseries.py":
+            mode = next(
+                (m for m in ("builtup", "population") if f" {m}" in cmd), None
+            )
+            assert mode is not None, (
+                f"examples/commands.md run_timeseries.py command lacks a "
+                f"builtup/population subcommand: {cmd!r}"
+            )
+            key = f"{prog} {mode}"
         for flag in _flags_in(cmd):
-            assert flag in known[prog], (
-                f"examples/commands.md documents {flag!r} for {prog}, "
+            assert flag in known[key], (
+                f"examples/commands.md documents {flag!r} for {key}, "
                 f"which its parser does not accept"
             )
             checked += 1
