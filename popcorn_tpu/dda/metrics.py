@@ -152,6 +152,12 @@ def morphology_metrics(y_true: np.ndarray, y_prob: np.ndarray, threshold=0.5) ->
     s = np.ones((3, 3), bool)
     out = {
         "iou": _iou_masks(t, p),
+        # reference boundary_IoU (metrics.py:108-112): IoU of the 3x3-dilated
+        # masks (the name notwithstanding, it dilates — it does not extract a
+        # boundary ring; the ring variant is gradient_iou below)
+        "boundary_iou": _iou_masks(
+            ndimage.binary_dilation(t, s), ndimage.binary_dilation(p, s)
+        ),
         "gradient_iou": _iou_masks(gradient_mask(t), gradient_mask(p)),
         "opened_iou": _iou_masks(
             ndimage.binary_opening(t, s), ndimage.binary_opening(p, s)

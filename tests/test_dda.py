@@ -157,3 +157,120 @@ def test_dda_training_learns(manifest):
     x = jnp.zeros((1, 32, 32, 6), jnp.float32)
     feats = dual_stream_features(params, consts_bn, x)
     assert feats.shape == (1, 32, 32, 16)
+
+
+# -- training augmentations (VERDICT r3 #5; ref augmentations.py:11-31) -------
+
+
+def test_dda_augment_geometric_sync():
+    """Flips/rotations must hit image and label identically, and must be
+    drawn per sample (the reference composes them inside __getitem__)."""
+    from popcorn_tpu.dda.train import DDAConfig, dda_augment
+
+    cfg = DDAConfig(color_shift=False, gamma_correction=False)
+    x = np.arange(6 * 6 * 6, dtype=np.float32).reshape(6, 6, 6)
+    y = x[..., 0].copy()
+    seen = set()
+    for seed in range(20):
+        ax, ay = dda_augment(np.random.default_rng(seed), x, y, cfg)
+        np.testing.assert_array_equal(ax[..., 0], ay)
+        # geometric ops permute pixels, never change values
+        np.testing.assert_array_equal(np.sort(ax, axis=None), np.sort(x, axis=None))
+        seen.add(ax.tobytes())
+    assert len(seen) > 3  # several distinct draws occurred
+
+
+def test_dda_augment_photometric_s2_only():
+    """Color shift + gamma touch only the four S2 channels, stay within
+    the [0, 10000] reflectance range, and leave S1 (dB) untouched."""
+    from popcorn_tpu.dda.train import DDAConfig, dda_augment
+
+    cfg = DDAConfig(random_flip=False, random_rotate=False)
+    rng = np.random.default_rng(3)
+    x = np.concatenate(
+        [
+            rng.normal(-18, 4, (16, 16, 2)),  # S1 dB
+            rng.uniform(0, 12000, (16, 16, 4)),  # S2 counts (some >10000)
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    ax, _ = dda_augment(np.random.default_rng(7), x, None, cfg)
+    np.testing.assert_array_equal(ax[..., :2], x[..., :2])
+    assert not np.array_equal(ax[..., 2:], x[..., 2:])
+    assert ax[..., 2:].min() >= 0.0 and ax[..., 2:].max() <= 10000.0
+
+
+def test_dda_augment_crop():
+    from popcorn_tpu.dda.train import DDAConfig, dda_augment
+
+    cfg = DDAConfig(crop_size=8, random_rotate=False, random_flip=False,
+                    color_shift=False, gamma_correction=False)
+    x = np.random.default_rng(0).random((32, 32, 6)).astype(np.float32)
+    y = x[..., 0].copy()
+    ax, ay = dda_augment(np.random.default_rng(5), x, y, cfg)
+    assert ax.shape == (8, 8, 6) and ay.shape == (8, 8)
+    np.testing.assert_array_equal(ax[..., 0], ay)  # aligned crop
+
+
+def test_dda_training_with_augmentation(manifest):
+    """The aug-on step must consume aug draws (different trajectory than
+    aug-off at the same seed) and keep the loss finite and learnable."""
+    cfg = DDAConfig(epochs=2, labeled_per_batch=3, unlabeled_per_batch=2, lr=3e-3)
+    tr_on = DDATrainer(manifest, cfg)
+    l_on = tr_on.train_epoch(augment=True)
+    tr_off = DDATrainer(manifest, cfg)
+    l_off = tr_off.train_epoch(augment=False)
+    assert np.isfinite(l_on) and np.isfinite(l_off)
+    assert l_on != l_off  # augmentation really altered the training stream
+    p_on = np.asarray(jax.tree_util.tree_leaves(tr_on.params)[0])
+    p_off = np.asarray(jax.tree_util.tree_leaves(tr_off.params)[0])
+    assert not np.array_equal(p_on, p_off)
+
+
+# -- per-site test loop (VERDICT r3 #5; ref evaluation.py:252-453) ------------
+
+
+def test_model_testing_per_site(manifest):
+    cfg = DDAConfig(epochs=1, labeled_per_batch=3, unlabeled_per_batch=2, lr=3e-3)
+    tr = DDATrainer(manifest, cfg)
+    tr.train_epoch()
+    report = tr.test_per_site()
+    # synthetic manifest: labeled samples 0..5 alternate sites b,a,b,a,b,a
+    assert set(report) == {"a", "b", "test"}
+    for head in ("sar", "optical", "fusion"):
+        agg = report["test"][head]
+        assert agg["n_samples"] == 6
+        assert report["a"][head]["n_samples"] + report["b"][head]["n_samples"] == 6
+        for k in ("precision", "recall", "f1", "iou", "boundary_iou",
+                  "closed_iou", "opened_iou", "gradient_iou"):
+            assert 0.0 <= agg[k] <= 1.0, (head, k, agg[k])
+        assert -1.0 <= agg["ssim"] <= 1.0
+        # hausdorff is nan when every sample's prediction mask was empty
+        # (inf distances are excluded from the mean) — a 1-epoch net may
+        # legitimately predict nothing; just require the key exists.
+        assert "hausdorff" in agg
+
+    from popcorn_tpu.dda.train import format_site_report
+
+    txt = format_site_report(report)
+    assert "test" in txt and "fusion" in txt and "boundary_iou" in txt
+
+
+def test_model_testing_pools_pixels_across_sites():
+    """The 'test' bucket must pool raw pixel counts (reference pools
+    flattened predictions, evaluation.py:402-419) — not average site F1s."""
+    from popcorn_tpu.dda.metrics import MultiThresholdMetric
+
+    # two "sites" with very different class balance
+    m_a, m_b, m_all = (MultiThresholdMetric(np.array([0.5])) for _ in range(3))
+    rng = np.random.default_rng(0)
+    ya, pa = (rng.random((50,)) < 0.9).astype(float), rng.random((50,))
+    yb, pb = (rng.random((800,)) < 0.05).astype(float), rng.random((800,))
+    m_a.add_sample(ya, pa)
+    m_b.add_sample(yb, pb)
+    m_all.add_sample(ya, pa)
+    m_all.add_sample(yb, pb)
+    pooled = m_all.f1()[0]
+    averaged = (m_a.f1()[0] + m_b.f1()[0]) / 2
+    assert pooled != pytest.approx(averaged)
+    assert m_all.TP[0] == m_a.TP[0] + m_b.TP[0]

@@ -14,7 +14,7 @@ def test_run_dda_train_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/run_dda_train.py", "--manifest", manifest,
          "--epochs", "2", "--labeled-per-batch", "2",
-         "--unlabeled-per-batch", "1", "--out", out],
+         "--unlabeled-per-batch", "1", "--out", out, "--test"],
         capture_output=True, text=True, cwd="/root/repo",
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
         timeout=1200,  # hermetic-CPU budget: a hang here means the CLI
@@ -23,3 +23,6 @@ def test_run_dda_train_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "epoch 1" in r.stdout and "eval:" in r.stdout
     assert os.path.exists(out)
+    # --test printed the per-site report (aggregate bucket + all 3 heads)
+    assert "test" in r.stdout and "fusion" in r.stdout
+    assert "boundary_iou" in r.stdout
