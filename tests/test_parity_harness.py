@@ -16,3 +16,7 @@ def test_parity_harness_selftest(capsys):
     parity_released.selftest()
     out = capsys.readouterr().out
     assert "selftest OK" in out
+    # VERDICT r3 #8: the selftest matrix must also exercise the --spatial
+    # and --quantize int8s inference surfaces
+    assert "--spatial surface" in out
+    assert "--quantize int8s surface" in out

@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(checkpoints, data_root, region, train_level, fourseasons,
-             patch_batch=1, paths=None, patchsize=2048, overlap=128):
+             patch_batch=1, paths=None, patchsize=2048, overlap=128,
+             spatial=False, quantize=None):
     from popcorn_tpu.cli.args import model_config_from_args
     from popcorn_tpu.config import DataPaths, EvalConfig
     from popcorn_tpu.infer.evaluator import Evaluator
@@ -46,13 +47,14 @@ def evaluate(checkpoints, data_root, region, train_level, fourseasons,
         occupancymodel=True, pretrained=False, biasinit=0.75,
         sentinelbuildings=True, buildinginput=False, segmentationinput=False,
         feature_extractor="DDA", compute_dtype="float32", fused_head=None,
-        quantize=None,
+        quantize=quantize,
     )
     mcfg = model_config_from_args(ns)
     ecfg = EvalConfig(
         target_regions=(region,), train_level=(train_level,),
         checkpoints=tuple(checkpoints), fourseasons=fourseasons,
         patch_batch=patch_batch, patchsize=patchsize, overlap=overlap,
+        spatial=spatial,
     )
     if paths is None:
         paths = DataPaths(data_root)
@@ -119,6 +121,38 @@ def selftest():
         print("selftest OK: converter -> evaluator -> census metrics "
               f"produced {len(ours)} finite metrics from a .pth quintet")
 
+        # --spatial surface (VERDICT r3 #8): same quintet through the
+        # whole-region spatially-partitioned path. Expect metric parity
+        # with the stitched run up to the documented border-ring
+        # difference (the stitched path zeroes the outer overlap ring;
+        # spatial computes true model output there), so compare loosely.
+        ours_sp = evaluate(
+            members, None, "rwa", "coarse", fourseasons=False, paths=paths,
+            patchsize=96, overlap=16, spatial=True,
+        )
+        assert all(np.isfinite(v) for v in ours_sp.values()), ours_sp
+        common = [k for k in r2_keys if k in ours_sp]
+        assert common, f"spatial run produced no shared r2 keys: {sorted(ours_sp)}"
+        for k in common:
+            print(f"  [spatial] {k}: {ours_sp[k]:.4f} (stitched {ours[k]:.4f})")
+        print("selftest OK: --spatial surface produced "
+              f"{len(ours_sp)} finite metrics")
+
+        # --quantize int8s surface (VERDICT r3 #8): static-scale int8
+        # kernels (Pallas; interpret mode off-TPU). Parity with bf16/f32
+        # is bounded, not exact (corr 0.9997 on-chip, PERF_NOTES r3) —
+        # require finite metrics here; the census-R2 acceptance bound is
+        # pinned by tests/test_quantize_acceptance.py.
+        ours_q = evaluate(
+            members, None, "rwa", "coarse", fourseasons=False, paths=paths,
+            patchsize=96, overlap=16, quantize="int8s",
+        )
+        assert all(np.isfinite(v) for v in ours_q.values()), ours_q
+        for k in sorted(k for k in ours_q if k.endswith("/r2")):
+            print(f"  [int8s] {k}: {ours_q[k]:.4f}")
+        print("selftest OK: --quantize int8s surface produced "
+              f"{len(ours_q)} finite metrics")
+
 
 def main():
     from popcorn_tpu.utils import apply_platform_env
@@ -132,6 +166,11 @@ def main():
     ap.add_argument("--train_level", default="coarse")
     ap.add_argument("-fs", "--fourseasons", action="store_true")
     ap.add_argument("--patch_batch", type=int, default=1)
+    ap.add_argument("--spatial", action="store_true",
+                    help="whole-region spatially-partitioned inference")
+    ap.add_argument("--quantize", default=None, choices=("int8", "int8s"),
+                    help="quantized member fold (parity bound is looser "
+                    "by construction; see PERF_NOTES.md)")
     ap.add_argument("--expected", default=None,
                     help="JSON file {metric: expected_value}")
     ap.add_argument("--rtol", type=float, default=1e-3,
@@ -146,7 +185,7 @@ def main():
         ap.error("-r/--checkpoints required (or --selftest)")
     ours = evaluate(
         a.checkpoints, a.data_root, a.region, a.train_level,
-        a.fourseasons, a.patch_batch,
+        a.fourseasons, a.patch_batch, spatial=a.spatial, quantize=a.quantize,
     )
     for k in sorted(ours):
         print(f"  {k}: {ours[k]:.4f}")
