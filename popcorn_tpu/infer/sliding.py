@@ -135,12 +135,44 @@ def make_patch_forward(
         cost ~5 ms each at 2048^2).
         """
         from ..nn.packed import pack, unpack_scalar
-        from ..nn.popcorn import packed_member_maps, prepare_packed_streams
+        from ..nn.popcorn import (
+            packed_member_maps,
+            prepare_packed_streams,
+            prepare_wide_streams,
+            select_engine,
+            wide_member_maps,
+        )
 
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
+
+        if select_engine(mcfg_member, h, w) == "wide":
+            # wide-lane fold (nn/wide.py): inputs prepare as free reshapes,
+            # every map is a dense 3-D (B,H,W) — no flat-packed accumulators
+            # or unpack epilogue needed
+            sar_w, opt_w = prepare_wide_streams(x, mcfg_member)
+            score3 = score if score.ndim == 3 else score[..., 0]
+            zeros = jnp.zeros((b, h, w), jnp.float32)
+
+            def wbody(carry, params):
+                ds, dsq, ss, ssq = carry
+                dense, scale = wide_member_maps(
+                    params, consts, sar_w, opt_w, score3, mcfg_member
+                )
+                return (ds + dense, dsq + dense**2, ss + scale, ssq + scale**2), None
+
+            (ds, dsq, ss, ssq), _ = jax.lax.scan(
+                wbody, (zeros, zeros, zeros, zeros), stacked_params
+            )
+            return {
+                "dense_sum": ds * m,
+                "dense_sq": dsq * m,
+                "scale_sum": ss * m,
+                "scale_sq": ssq * m,
+                "count": m * n_members,
+            }
 
         sar_p, opt_p, f = prepare_packed_streams(x, mcfg_member)
-        m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
         if f > 1:
             # everything in the dense-lane FLAT packed layout (B,Hp,Wp*f^2):
             # a (B,Hp,Wp,f^2) f32 tensor would pad its size-16 minor dim to
@@ -224,11 +256,20 @@ def make_patch_forward(
         addition order as the single-device lax.scan, so results are
         bit-identical to the scan fold (tests/test_multichip.py)."""
         from ..nn.packed import pack, unpack_scalar
-        from ..nn.popcorn import packed_member_maps, prepare_packed_streams
+        from ..nn.popcorn import (
+            packed_member_maps,
+            prepare_packed_streams,
+            prepare_wide_streams,
+            select_engine,
+            wide_member_maps,
+        )
 
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
-
-        sar_p, opt_p, f = prepare_packed_streams(x, mcfg_member)
+        wide = select_engine(mcfg_member, h, w) == "wide"
+        sar_p = opt_p = None
+        f = 0
+        if not wide:
+            sar_p, opt_p, f = prepare_packed_streams(x, mcfg_member)
         m = mask.astype(jnp.float32) * valid.astype(jnp.float32)[:, None, None]
 
         def fold(dense_all, scale_all, zeros):
@@ -242,6 +283,28 @@ def make_patch_forward(
                 (dense_all[:n_members], scale_all[:n_members]),
             )
             return ds, dsq, ss, ssq
+
+        if wide:
+            sar_w, opt_w = prepare_wide_streams(x, mcfg_member)
+            score3 = score if score.ndim == 3 else score[..., 0]
+
+            def one_w(params):
+                return wide_member_maps(
+                    params, consts, sar_w, opt_w, score3, mcfg_member
+                )
+
+            local_d, local_s = jax.lax.map(one_w, stacked_params)
+            dense_all = jax.lax.all_gather(local_d, "ensemble", axis=0, tiled=True)
+            scale_all = jax.lax.all_gather(local_s, "ensemble", axis=0, tiled=True)
+            zeros = jnp.zeros((b, h, w), jnp.float32)
+            ds, dsq, ss, ssq = fold(dense_all, scale_all, zeros)
+            return {
+                "dense_sum": ds * m,
+                "dense_sq": dsq * m,
+                "scale_sum": ss * m,
+                "scale_sq": ssq * m,
+                "count": m * n_members,
+            }
 
         if f > 1:
             bp, hp, wpf = sar_p.shape[0], sar_p.shape[1], sar_p.shape[2]
@@ -844,11 +907,20 @@ def run_sliding_inference(
     # never leave packed space — the four per-patch unpack relayouts
     # (~10 ms at 2048^2) are replaced by one unpack at finalize
     from ..nn.packed import choose_pack_factor, unpack_scalar
+    from ..nn.popcorn import select_engine
 
     p_sz = dataset.patchsize or 0
+    # the wide-lane engine emits dense 3-D maps — the plain (f_eval=1)
+    # stitch path applies; only the s2d-packed engine needs the flat-packed
+    # device stitcher
+    _engine = select_engine(mcfg, p_sz or 32, p_sz or 32) if p_sz else "plain"
     f_eval = (
         choose_pack_factor(p_sz, p_sz)
-        if (getattr(mcfg, "layout", "auto") != "plain" and mcfg.s1 and mcfg.s2 and p_sz)
+        if (
+            _engine == "packed"
+            and getattr(mcfg, "layout", "auto") != "plain"
+            and mcfg.s1 and mcfg.s2 and p_sz
+        )
         else 1
     )
     packed_stitch = use_device and f_eval > 1

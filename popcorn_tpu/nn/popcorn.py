@@ -175,6 +175,20 @@ def create_building_score(
     x6 = reorder_to_dda(xp, s1=s1, s2=s2, nir=nir)
     hp, wp = x6.shape[1], x6.shape[2]
     from .packed import choose_pack_factor, packed_building_logits, unpack_scalar
+    from .wide import choose_wide, wide_building_logits
+
+    if (
+        layout in ("auto", "wide")
+        and not use_pallas
+        and not quantized
+        and choose_wide(hp, wp)
+    ):
+        logits3 = wide_building_logits(
+            builder["params"], builder["bn"], x6, s1=s1, s2=s2, dtype=dtype
+        )
+        score3 = jax.nn.sigmoid(logits3.astype(jnp.float32))
+        score3 = revert_padding(score3[..., None], pad)[..., 0]
+        return lax.stop_gradient(score3)
 
     f = choose_pack_factor(hp, wp) if layout != "plain" else 1
     if f > 1:
@@ -226,6 +240,84 @@ def sparsity_mask(
     m = (m | lattice[None]) & admin_sel
     empty = ~jnp.any(m)
     return jnp.where(empty, admin_sel, m)
+
+
+def select_engine(cfg: ModelConfig, h: int, w: int, train: bool = False) -> str:
+    """Pick the UNet execution engine for an (h, w) input.
+
+    "wide"   — W-only packed lanes (nn/wide.py): ~2.25x fewer executed MXU
+               passes per conv and ~4x on the head vs the space-to-depth
+               lift, all layout changes free reshapes. The default where
+               shapes allow (H%4, W%32).
+    "packed" — space-to-depth lift (nn/packed.py): required by the Pallas
+               kernel / int8 paths (their kernels are written against the
+               s2d layout), or layout="packed".
+    "plain"  — direct NHWC (nn/unet.py): odd shapes / layout="plain".
+    """
+    layout = getattr(cfg, "layout", "auto")
+    if layout == "plain":
+        return "plain"
+    # the Pallas fused kernels + both int8 modes are s2d-layout programs
+    if getattr(cfg, "quantize", None) or getattr(cfg, "pallas_stream", None):
+        layout = "packed" if layout in ("auto", "wide") else layout
+    from .packed import choose_pack_factor
+    from .wide import choose_wide
+
+    if layout in ("auto", "wide") and choose_wide(h, w):
+        return "wide"
+    if layout == "wide":
+        raise ValueError(
+            f"layout='wide' requires H%4==0 and W%32==0, got {(h, w)}"
+        )
+    return "packed" if choose_pack_factor(h, w) > 1 else "plain"
+
+
+def prepare_wide_streams(x: jnp.ndarray, cfg: ModelConfig):
+    """Wide-lane input prep: reorder to DDA order + free reshapes.
+
+    Returns (sar_w, opt_w) at nn.wide.FW0 (either may be None when its
+    stream is disabled)."""
+    from .wide import FW0, wpack
+
+    x6 = reorder_to_dda(x, s1=cfg.s1, s2=cfg.s2, nir=cfg.nir)
+    sar_w = wpack(x6[..., :2], FW0) if cfg.s1 else None
+    opt_w = wpack(x6[..., 2:], FW0) if cfg.s2 else None
+    return sar_w, opt_w
+
+
+def wide_member_maps(
+    params: Tree,
+    consts: Tree,
+    sar_w: Optional[jnp.ndarray],
+    opt_w: Optional[jnp.ndarray],
+    score3: jnp.ndarray,
+    cfg: ModelConfig,
+):
+    """One ensemble member's (popdensemap, scale) through the wide-lane
+    engine — maps are dense 3-D (B, H, W) float32 end-to-end (no flat-
+    packed accumulators needed: the wide layout never lane-pads scalars)."""
+    from .wide import wide_head_apply, wide_unet_stream
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    sar_f = opt_f = None
+    if sar_w is not None:
+        sar_f = wide_unet_stream(
+            params["unet"]["sar"], consts["unet_bn"]["sar"], sar_w, dtype=dtype
+        )
+    if opt_w is not None:
+        opt_f = wide_unet_stream(
+            params["unet"]["opt"], consts["unet_bn"]["opt"], opt_w, dtype=dtype
+        )
+    # single-stream configs ship an 8-in head (l1 w is (8,64)); the dual
+    # head splits (16,64) two-part inside wide_head_apply
+    out = wide_head_apply(params["head"], sar_f, opt_f, dtype).astype(jnp.float32)
+    if cfg.occupancy_model:
+        scale3 = jax.nn.relu(out)
+        dense3 = scale3 * score3.astype(jnp.float32)
+    else:
+        scale3 = jnp.zeros_like(out)
+        dense3 = jax.nn.relu(out)
+    return dense3, scale3
 
 
 def prepare_packed_streams(x: jnp.ndarray, cfg: ModelConfig):
@@ -421,13 +513,39 @@ def popcorn_forward(
         packed_head_apply,
         unpack_scalar,
     )
+    from .wide import FW0, choose_wide, wide_head_apply, wide_unet_stream, wpack
 
     hp, wp = x6.shape[1], x6.shape[2]
-    f = (
-        choose_pack_factor(hp, wp)
-        if (layout != "plain" and pad == (None, None, None, None))
-        else 1
+    no_pad = pad == (None, None, None, None)
+    engine = (
+        select_engine(cfg, hp, wp, train)
+        if (layout != "plain" and no_pad)
+        else "plain"
     )
+    if engine == "wide":
+        dt = dtype
+        sar_f = opt_f = None
+        if cfg.s1:
+            sar_f = wide_unet_stream(
+                params["unet"]["sar"], consts["unet_bn"]["sar"],
+                wpack(x6[..., :2], FW0),
+                encoder_stop_grad=encoder_no_grad, dtype=dt,
+            )
+        if cfg.s2:
+            opt_f = wide_unet_stream(
+                params["unet"]["opt"], consts["unet_bn"]["opt"],
+                wpack(x6[..., 2:], FW0),
+                encoder_stop_grad=encoder_no_grad, dtype=dt,
+            )
+        if unet_no_grad:
+            sar_f = lax.stop_gradient(sar_f) if sar_f is not None else None
+            opt_f = lax.stop_gradient(opt_f) if opt_f is not None else None
+        out = wide_head_apply(params["head"], sar_f, opt_f, dt).astype(
+            jnp.float32
+        )
+        f = -1  # handled; skip the packed/plain branches below
+    else:
+        f = choose_pack_factor(hp, wp) if engine == "packed" else 1
     if f > 1:
         # packed fast path: features and head stay in space-to-depth layout,
         # only the scalar channel-0 map is unpacked at the end.
@@ -454,7 +572,7 @@ def popcorn_forward(
                 params["head"], feats_p, f, dtype, two_stream=(cfg.s1 and cfg.s2)
             )
         out = unpack_scalar(out_p, f).astype(jnp.float32)
-    else:
+    elif f == 1:
         feats = dual_stream_features(
             params["unet"],
             consts["unet_bn"],
