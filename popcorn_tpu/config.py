@@ -276,7 +276,9 @@ class ModelConfig:
     feature_extractor: str = "DDA"
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
-    layout: str = "auto"  # "auto": space-to-depth packed engine when shapes allow
+    layout: str = "auto"  # "auto": space-to-depth packed engine when shapes
+    # allow; "wide"/"spatial": W-only lane packing (nn/wide.py — the
+    # engine for row-sharded whole frames); "packed"/"plain": forced
     fused_head: bool = False  # use the Pallas fused 1x1-conv head (plain layout)
     pallas_packed_head: Optional[bool] = None  # Pallas fused packed head
     # (block-diagonal VMEM pipeline, 3.6 vs 9.0 ms standalone on v5e, but

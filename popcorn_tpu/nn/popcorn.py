@@ -178,7 +178,7 @@ def create_building_score(
     from .wide import choose_wide, wide_building_logits
 
     if (
-        layout in ("auto", "wide")
+        layout in ("wide", "spatial")
         and not use_pallas
         and not quantized
         and choose_wide(hp, wp)
@@ -190,7 +190,8 @@ def create_building_score(
         score3 = revert_padding(score3[..., None], pad)[..., 0]
         return lax.stop_gradient(score3)
 
-    f = choose_pack_factor(hp, wp) if layout != "plain" else 1
+    # 'spatial' never packs: space-to-depth reshapes the sharded row axis
+    f = choose_pack_factor(hp, wp) if layout not in ("plain", "spatial") else 1
     if f > 1:
         logits_p = packed_building_logits(
             builder["params"], builder["bn"], x6, f, s1=s1, s2=s2, dtype=dtype,
@@ -245,25 +246,40 @@ def sparsity_mask(
 def select_engine(cfg: ModelConfig, h: int, w: int, train: bool = False) -> str:
     """Pick the UNet execution engine for an (h, w) input.
 
-    "wide"   — W-only packed lanes (nn/wide.py): ~2.25x fewer executed MXU
-               passes per conv and ~4x on the head vs the space-to-depth
-               lift, all layout changes free reshapes. The default where
-               shapes allow (H%4, W%32).
-    "packed" — space-to-depth lift (nn/packed.py): required by the Pallas
-               kernel / int8 paths (their kernels are written against the
-               s2d layout), or layout="packed".
+    "packed" — space-to-depth lift (nn/packed.py): the DEFAULT on
+               4-divisible shapes, and required by the Pallas kernel /
+               int8 paths (their kernels are written against the s2d
+               layout). Its lifted convs execute ~16x the model FLOPs,
+               but their K=1152 contractions run ~2.4x closer to MXU
+               peak than any lower-K alternative measured on v5e
+               (PERF_NOTES round 4): wide measured 0.857x end-to-end.
+    "wide"   — W-only packed lanes (nn/wide.py): ~2.7x fewer executed
+               FLOPs but K=384 band convs (measured ~21 vs ~51 TFLOP/s).
+               Not the default; it IS the right engine wherever packed
+               cannot run: layout="spatial" (packed's space-to-depth
+               reshapes the row-sharded H axis; wide never touches H and
+               measured ~5x faster than plain) — and its lane-dense
+               activations cut the whole-frame HBM footprint.
     "plain"  — direct NHWC (nn/unet.py): odd shapes / layout="plain".
     """
     layout = getattr(cfg, "layout", "auto")
     if layout == "plain":
         return "plain"
-    # the Pallas fused kernels + both int8 modes are s2d-layout programs
-    if getattr(cfg, "quantize", None) or getattr(cfg, "pallas_stream", None):
-        layout = "packed" if layout in ("auto", "wide") else layout
     from .packed import choose_pack_factor
     from .wide import choose_wide
 
-    if layout in ("auto", "wide") and choose_wide(h, w):
+    if layout == "spatial":
+        # row-sharded whole-frame path (infer/spatial.py): the wide
+        # engine's W-only lanes never touch the sharded H axis, so it
+        # partitions with local halo exchanges like plain NHWC does; the
+        # space-to-depth engine would reshape H (a resharding gather) and
+        # is never allowed here.
+        return "wide" if choose_wide(h, w) else "plain"
+    # the Pallas fused kernels + both int8 modes are s2d-layout programs
+    if getattr(cfg, "quantize", None) or getattr(cfg, "pallas_stream", None):
+        layout = "packed" if layout in ("auto", "wide") else layout
+
+    if layout == "wide" and choose_wide(h, w):
         return "wide"
     if layout == "wide":
         raise ValueError(

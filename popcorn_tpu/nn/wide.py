@@ -36,6 +36,16 @@ Exactness: identical arithmetic to nn.unet up to float summation order
 Everything is standard XLA (convs, matmuls, reshapes) — differentiable,
 shardable, no custom calls.
 
+MEASURED OUTCOME on v5e (round 4, PERF_NOTES): despite the ~2.7x lower
+executed-FLOP count, the member fold runs 0.857x the packed engine
+(5.67 vs 6.62 ensemble-patches/s at 2048^2 bf16) — the band's K=384
+contractions achieve ~21 TFLOP/s where the packed lift's K=1152 convs
+achieve ~51, so the lift's extra FLOPs are effectively free on the MXU.
+The wide engine is therefore NOT the default patch engine; it is the
+engine for layout="spatial" (row-sharded whole frames, where the s2d
+pack would reshape the sharded axis and plain NHWC measured ~5x slower
+and 16x more activation HBM per conv), and available via layout="wide".
+
 Divisibility: requires H % 4 == 0 and W % 32 == 0 (the packed engine's
 f=4 constraint is the same; callers fall back to nn.packed / nn.unet
 otherwise, see choose_wide).

@@ -202,8 +202,17 @@ def test_popcorn_forward_wide_matches_packed(rng):
                 np.asarray(outs[layout][k]), ref, rtol=5e-4, atol=5e-5,
                 err_msg=f"{layout}/{k}",
             )
-    assert select_engine(mcfg, 2048, 2048) == "wide"
-    assert select_engine(mcfg, 2048, 2048 + 16) == "packed"  # W % 32 != 0
+    # auto prefers the packed lift (its K=1152 convs measured ~2.4x the
+    # MXU throughput of wide's K=384 bands on v5e — PERF_NOTES round 4);
+    # wide is explicit or spatial
+    assert select_engine(mcfg, 2048, 2048) == "packed"
+    assert select_engine(dataclasses.replace(mcfg, layout="wide"), 2048, 2048) == "wide"
+    assert select_engine(dataclasses.replace(mcfg, layout="spatial"), 2048, 2048) == "wide"
+    assert (
+        select_engine(dataclasses.replace(mcfg, layout="spatial"), 2048, 2048 + 16)
+        == "plain"
+    )  # spatial never packs (W % 32 != 0 -> plain)
+    assert select_engine(mcfg, 2048, 2048 + 16) == "packed"
     assert select_engine(dataclasses.replace(mcfg, quantize="int8s"), 2048, 2048) == "packed"
     assert select_engine(dataclasses.replace(mcfg, layout="plain"), 2048, 2048) == "plain"
 
