@@ -37,6 +37,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
@@ -57,11 +58,19 @@ def _spatial_cfg(mcfg: ModelConfig) -> ModelConfig:
     Pallas kernels are opaque custom calls with no sharding rule — SPMD
     would gather the whole frame onto every device — and the packed
     space-to-depth engine reshapes the sharded row axis (a resharding
-    gather). Plain NHWC convs partition with local halo exchanges only.
+    gather). layout='spatial' (select_engine) picks the WIDE engine when
+    the frame divides (H%4, W%32 — spatial callers pad columns to 32):
+    its W-only lane packing never touches the sharded H axis (wpool's
+    row reduction is a local reshape-split by construction, nn/wide.py),
+    so it partitions with the same local halo exchanges as plain NHWC
+    while executing ~2.5x fewer lifted FLOPs and keeping every
+    activation lane-dense — which is what lifts the single-chip
+    whole-frame HBM ceiling (VERDICT r3 #3). Falls back to plain NHWC
+    on non-dividing shapes.
     """
     return dataclasses.replace(
         mcfg,
-        layout="plain",
+        layout="spatial",
         fused_head=False,
         pallas_stream=False,
         pallas_packed_head=False,
@@ -114,7 +123,7 @@ def make_spatial_builtup(
         x = normalize_and_assemble({"S2": s2, "S1": s1}, stats)
         return create_building_score(
             consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
-            dtype=dtype, layout="plain",
+            dtype=dtype, layout="spatial",
         )
 
     return jax.jit(fn, in_shardings=(sp4, sp4), out_shardings=sp3)
@@ -163,13 +172,14 @@ def spatial_builtup_map(
     """Whole-frame built-up probability, spatially sharded. HWC inputs.
 
     Pads rows to a multiple of 4*n_data (each shard stays 4-divisible
-    through the two maxpools), columns to a multiple of 4, crops after.
+    through the two maxpools), columns to a multiple of 32 (the wide
+    engine's lane-block width), crops after.
     """
     nd = data_axis_size(mesh)
     fn = _fn or make_spatial_builtup(consts, mcfg, mesh, stats)
     h, w = s2.shape[:2]
-    s2p, _ = _pad_frame(s2, 4 * nd, 4)
-    s1p, _ = _pad_frame(s1, 4 * nd, 4)
+    s2p, _ = _pad_frame(s2, 4 * nd, 32)
+    s1p, _ = _pad_frame(s1, 4 * nd, 32)
     sp4 = _row_sharding(mesh, 4)
     # device_put_global / fetch_to_host: when the 'data' axis spans
     # processes (multihost pod), commit per-host shards and allgather the
@@ -178,6 +188,63 @@ def spatial_builtup_map(
         device_put_global(s2p[None], sp4), device_put_global(s1p[None], sp4)
     )
     return fetch_to_host(out)[0, :h, :w]
+
+
+_BUILDER_HALO = 64  # rows of true context per strip: > the builder's
+# ~45 px receptive field incl. its reflect-14 pad (measured exact to
+# 3e-7 — PERF_NOTES round 3 cont. 2, the same bound the patch stitch uses)
+_CHUNK_MIN_H = 3072  # below this the whole-frame builder fits comfortably
+_MEMBER_CHUNK_MIN_H = 5120  # above this the member fold also row-chunks
+# (single device): measured member-wide temp is ~256 B/px, so a 6144^2
+# whole-frame fold needs ~9.7 GB and 8192^2 would exceed HBM
+_MEMBER_CHUNK_ROWS = 2048  # kept rows per member strip (6% halo recompute)
+
+
+def chunked_building_score(
+    consts: Tree,
+    x: jnp.ndarray,
+    mcfg: ModelConfig,
+    dtype,
+    rows_per_chunk: int = 512,
+) -> jnp.ndarray:
+    """Row-chunked building score for SINGLE-DEVICE whole frames.
+
+    The builder cannot use the wide engine on member-padded frames (its
+    forced reflect-14 pad breaks W%32), and its plain-engine convs
+    materialise 128-lane relayout temporaries of the FULL frame —
+    measured as the dominant term in the spatial fold's temp memory.
+    Chunking bounds those temporaries to one strip of ``rows_per_chunk``
+    (+2*_BUILDER_HALO) rows. Each strip window carries >=_BUILDER_HALO
+    rows of true context, beyond the builder's receptive field, so kept
+    rows equal the whole-frame computation to ~3e-7; at the true frame
+    edges the window boundary IS the frame boundary, preserving the
+    reference's reflect-pad semantics exactly (model/popcorn.py:279-322).
+
+    Single-device only: under SPMD row sharding the fori_loop's dynamic
+    row slices would gather across shards — sharded callers run the
+    whole-frame builder (per-device rows are already 1/n).
+    """
+    b, H, W, C = x.shape
+    # largest strip <= rows_per_chunk dividing H (H is a multiple of 4),
+    # capped so the haloed window fits the frame
+    S = min(rows_per_chunk, max(4, H - 2 * _BUILDER_HALO))
+    while H % S:
+        S -= 4
+    n = H // S
+    win_h = min(S + 2 * _BUILDER_HALO, H)
+
+    def body(i, score):
+        r0 = i * S
+        start = jnp.clip(r0 - _BUILDER_HALO, 0, H - win_h)
+        win = lax.dynamic_slice(x, (0, start, 0, 0), (b, win_h, W, C))
+        s = create_building_score(
+            consts["builder"], win, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+            dtype=dtype, layout="spatial",
+        )
+        strip = lax.dynamic_slice(s, (0, r0 - start, 0), (b, S, W))
+        return lax.dynamic_update_slice(score, strip, (0, r0, 0))
+
+    return lax.fori_loop(0, n, body, jnp.zeros((b, H, W), jnp.float32))
 
 
 def make_spatial_ensemble(
@@ -256,6 +323,55 @@ def make_spatial_ensemble(
             check_vma=False,
         )
 
+    def _member_scan(stacked_params, x, score):
+        inputs = {"input": x, "building_counts": score}
+        zeros = jnp.zeros(x.shape[:3], jnp.float32)
+
+        def body(carry, params):
+            d, sc = member_maps(params, inputs)
+            ds, dsq, ss, ssq = carry
+            return (ds + d, dsq + d * d, ss + sc, ssq + sc * sc), None
+
+        sums, _ = jax.lax.scan(
+            body, (zeros, zeros, zeros, zeros), stacked_params
+        )
+        return sums
+
+    _ACC4 = ("dense_sum", "dense_sq", "scale_sum", "scale_sq")
+
+    def _strip_fold(stacked_params, x, score, acc):
+        """Single-device big frames: the member scan runs per row strip
+        (kept rows + 2*_BUILDER_HALO of true context — the same
+        halo-exactness bound as the builder chunking and the patch
+        stitch), so per-strip temporaries replace whole-frame ones.
+        Measured member-fold temp is ~256 B/px; whole-frame 8192^2 would
+        need ~17 GB where strips need ~5."""
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        S = min(_MEMBER_CHUNK_ROWS, max(4, h - 2 * _BUILDER_HALO))
+        while h % S:
+            S -= 4
+        win_h = min(S + 2 * _BUILDER_HALO, h)
+        n = h // S
+
+        def strip(i, acc4):
+            r0 = i * S
+            start = jnp.clip(r0 - _BUILDER_HALO, 0, h - win_h)
+            xw = lax.dynamic_slice(
+                x, (0, start, 0, 0), (b, win_h, w, x.shape[3])
+            )
+            sw = lax.dynamic_slice(score, (0, start, 0), (b, win_h, w))
+            sums = _member_scan(stacked_params, xw, sw)
+            off = r0 - start
+            out = []
+            for a, sarr in zip(acc4, sums):
+                kept = lax.dynamic_slice(sarr[0], (off, 0), (S, w))
+                cur = lax.dynamic_slice(a, (r0, 0), (S, w))
+                out.append(lax.dynamic_update_slice(a, cur + kept, (r0, 0)))
+            return tuple(out)
+
+        acc4 = lax.fori_loop(0, n, strip, tuple(acc[k] for k in _ACC4))
+        return dict(zip(_ACC4, acc4))
+
     def fn(stacked_params, sample, acc):
         s = {}
         if mcfg.s2 and "S2" in sample:
@@ -265,29 +381,32 @@ def make_spatial_ensemble(
         if mcfg.viirs and "VIIRS" in sample:
             s["VIIRS"] = sample["VIIRS"]
         x = normalize_and_assemble(s, stats)
+        single_dev = mesh is None or mesh.shape.get("data", 1) == 1
         if mcfg.sentinel_buildings or not mcfg.occupancy_model:
-            score = create_building_score(
-                consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
-                dtype=dtype, layout="plain",
-            )
+            # single-device big frames: row-chunk the builder so its
+            # plain-engine relayout temporaries stay strip-sized (the
+            # measured HBM ceiling term: 13.8 GB whole-frame at 4608^2,
+            # compile failure at 6144^2); sharded meshes keep the
+            # whole-frame call (per-device rows are already 1/n and the
+            # chunk loop's row slices would gather across shards)
+            if single_dev and x.shape[1] >= _CHUNK_MIN_H:
+                score = chunked_building_score(consts, x, mcfg_sp, dtype)
+            else:
+                score = create_building_score(
+                    consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+                    dtype=dtype, layout="spatial",
+                )
         else:
             score = sample["building_counts"]
             if score.ndim == 4:
                 score = score[..., 0]
-        inputs = {"input": x, "building_counts": score}
-        zeros = jnp.zeros(x.shape[:3], jnp.float32)
 
         if n_ensemble > 1:
             ds, dsq, ss, ssq = ens_fold(stacked_params, x, score)
+        elif single_dev and x.shape[1] >= _MEMBER_CHUNK_MIN_H:
+            return _strip_fold(stacked_params, x, score, acc)
         else:
-            def body(carry, params):
-                d, sc = member_maps(params, inputs)
-                ds, dsq, ss, ssq = carry
-                return (ds + d, dsq + d * d, ss + sc, ssq + sc * sc), None
-
-            (ds, dsq, ss, ssq), _ = jax.lax.scan(
-                body, (zeros, zeros, zeros, zeros), stacked_params
-            )
+            ds, dsq, ss, ssq = _member_scan(stacked_params, x, score)
         return {
             "dense_sum": acc["dense_sum"] + ds[0],
             "dense_sq": acc["dense_sq"] + dsq[0],
@@ -354,7 +473,7 @@ def run_spatial_inference(
     )
 
     hp = h + ((-h) % (4 * nd))
-    wp = w + ((-w) % 4)
+    wp = w + ((-w) % 32)
     acc = {
         k: jax.device_put(jnp.zeros((hp, wp), jnp.float32), row2)
         for k in ("dense_sum", "dense_sq", "scale_sum", "scale_sq")
@@ -372,7 +491,7 @@ def run_spatial_inference(
                 # identical wherever a window holds the NaN's full
                 # interpolation neighbourhood)
                 a = interpolate_nan(np.ascontiguousarray(a, np.float32))
-            a, _ = _pad_frame(a, 4 * nd, 4)
+            a, _ = _pad_frame(a, 4 * nd, 32)
             sample[k] = device_put_global(a[None], sp4)
         acc = fold(stacked, sample, acc)
         n_seasons += 1
@@ -417,8 +536,8 @@ def spatial_density_map(
     nd = data_axis_size(mesh)
     fn = _fn or make_spatial_popcorn(params, consts, mcfg, mesh, stats)
     h, w = s2.shape[:2]
-    s2p, _ = _pad_frame(s2, 4 * nd, 4)
-    s1p, _ = _pad_frame(s1, 4 * nd, 4)
+    s2p, _ = _pad_frame(s2, 4 * nd, 32)
+    s1p, _ = _pad_frame(s1, 4 * nd, 32)
     sp4 = _row_sharding(mesh, 4)
     rep = NamedSharding(mesh, P())
     out = fn(

@@ -78,13 +78,13 @@ def test_spatial_density_padded_frame(model):
     same way."""
     mcfg, params, consts = model
     mesh = make_mesh(8)
-    h, w = 100, 50  # pads to 128 x 52
+    h, w = 100, 50  # pads to 128 x 64 (cols pad to the wide lane block, 32)
     s2, s1 = _frame(h, w, seed=3)
     m_sp, cnt = spatial_density_map(params, consts, mcfg, s2, s1, mesh)
     assert m_sp.shape == (h, w)
 
-    s2p, _ = _pad_frame(s2, 32, 4)
-    s1p, _ = _pad_frame(s1, 32, 4)
+    s2p, _ = _pad_frame(s2, 32, 32)
+    s1p, _ = _pad_frame(s1, 32, 32)
     stats = NormStats()
     inputs = {"input": normalize_and_assemble(
         {"S2": jnp.asarray(s2p[None]), "S1": jnp.asarray(s1p[None])}, stats)}
@@ -212,4 +212,71 @@ def test_spatial_train_step_matches_single_device(model):
     for a, b_ in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sp)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_chunked_building_score_matches_whole_frame(model):
+    """Row-chunked builder (single-device big frames) equals the
+    whole-frame builder to the established halo bound: each strip carries
+    64 rows of true context > the builder's ~45 px receptive field."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from popcorn_tpu.data.normalize import NormStats, normalize_and_assemble
+    from popcorn_tpu.infer.spatial import chunked_building_score
+    from popcorn_tpu.nn.popcorn import create_building_score
+
+    mcfg, params, consts = model
+    h, w = 256, 64
+    s2, s1 = _frame(h, w, seed=11)
+    x = normalize_and_assemble(
+        {"S2": jnp.asarray(s2[None]), "S1": jnp.asarray(s1[None])}, NormStats()
+    )
+    mcfg_sp = dataclasses.replace(mcfg, layout="spatial")
+    chunked = np.asarray(
+        chunked_building_score(consts, x, mcfg_sp, None, rows_per_chunk=64)
+    )
+    whole = np.asarray(
+        create_building_score(
+            consts["builder"], x, s1=mcfg.s1, s2=mcfg.s2, nir=mcfg.nir,
+            dtype=None, layout="spatial",
+        )
+    )
+    np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)
+
+
+def test_strip_fold_matches_whole_frame(model, monkeypatch):
+    """Single-device member strip fold (big frames) equals the whole-frame
+    member scan to the 64-row halo bound."""
+    import popcorn_tpu.infer.spatial as sp
+    from popcorn_tpu.infer.sliding import stack_ensemble
+    from popcorn_tpu.infer.spatial import make_spatial_ensemble
+    from popcorn_tpu.nn.init import init_head
+
+    mcfg, params, consts = model
+    members = []
+    for seed in (1, 2):
+        m = dict(params)
+        m["head"] = init_head(jax.random.PRNGKey(seed), biasinit=0.5)
+        members.append(m)
+    stacked = stack_ensemble(members)
+    h, w = 256, 64
+    s2, s1 = _frame(h, w, seed=13)
+    sample = {"S2": jnp.asarray(s2[None]), "S1": jnp.asarray(s1[None])}
+
+    def run():
+        fold = make_spatial_ensemble(mcfg, consts, NormStats(), 2)
+        acc = {k: jnp.zeros((h, w), jnp.float32)
+               for k in ("dense_sum", "dense_sq", "scale_sum", "scale_sq")}
+        return {k: np.asarray(v) for k, v in fold(stacked, sample, acc).items()}
+
+    whole = run()
+    monkeypatch.setattr(sp, "_MEMBER_CHUNK_MIN_H", 128)
+    monkeypatch.setattr(sp, "_MEMBER_CHUNK_ROWS", 64)
+    monkeypatch.setattr(sp, "_CHUNK_MIN_H", 128)
+    strips = run()
+    for k in whole:
+        np.testing.assert_allclose(
+            strips[k], whole[k], rtol=1e-5, atol=1e-6, err_msg=k
         )
