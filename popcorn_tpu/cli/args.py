@@ -128,8 +128,10 @@ def train_parser() -> argparse.ArgumentParser:
                         "regions' season mosaics to device once and assemble "
                         "batches on device (zero image bytes host->device "
                         "per step). auto = when single-process, NaN-free and "
-                        "within the HBM budget; falls back to the host feed "
-                        "otherwise")
+                        "within the HBM budget; regions whose full stack "
+                        "exceeds HBM fall back to SEASON ROTATION (one "
+                        "season's slice resident at a time, uploaded once "
+                        "per epoch), then to the host feed")
     return p
 
 

@@ -156,10 +156,15 @@ class DeviceWeaksupFeed(WeaksupFeed):
         *,
         hbm_budget_bytes: float = 9e9,
         resident_from: "Optional[DeviceWeaksupFeed]" = None,
+        rotate: bool = False,
         **kw,
     ):
         super().__init__(datasets, **kw)
         import jax
+
+        self._rotating = False
+        self._mos_host: Optional[Dict[str, np.ndarray]] = None
+        self._active_season: Optional[int] = None
 
         dss = self.datasets
         if any(d.mode != "weaksup" for d in dss):
@@ -232,11 +237,36 @@ class DeviceWeaksupFeed(WeaksupFeed):
             need += hp * wp * nchan * np.dtype(dt).itemsize
         need += hp * wp * 4  # boundary
         budget = _effective_budget(hbm_budget_bytes)
-        if need > budget:
+        if need > budget and not rotate:
             raise Ineligible(
                 f"resident stack needs {need / 1e9:.1f} GB > budget "
                 f"{budget / 1e9:.1f} GB"
             )
+        if rotate:
+            # Season-rotation middle path (VERDICT r3 #4): only ONE
+            # season's S2/S1 slices are HBM-resident at a time (statics +
+            # boundary stay); the full stacks live in host RAM and each
+            # epoch visits its samples season-grouped (see _epoch_batches)
+            # so every slice uploads once per epoch. Per-sample tensors
+            # are bit-identical to the full-resident/host feeds (same
+            # per-item RNG draws, per-item bucket shapes); what changes is
+            # the visitation ORDER (season-major) and therefore batch
+            # composition / per-batch augmentation draws.
+            need_active = hp * wp * 4  # boundary
+            for k, (dt, nchan) in planes.items():
+                per = nchan
+                if k == "S2":
+                    per = nchan // len(seasons)
+                elif k == "S1":
+                    per = nchan // len(seasons)
+                need_active += hp * wp * per * np.dtype(dt).itemsize
+            # swap transient: old + new season resident during the switch
+            s2s1 = need_active - hp * wp * 4
+            if need_active + s2s1 > budget:
+                raise Ineligible(
+                    f"rotating resident slice needs {need_active / 1e9:.1f} GB "
+                    f"(+swap) > budget {budget / 1e9:.1f} GB"
+                )
 
         def _blocks(read_one, nchan, idxs, dtype_from_parts=False):
             """(len(idxs), C, hp, wp) stack with each region's rows at its
@@ -322,7 +352,18 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 self._nan_q[k] = qs
 
         self._seasonal = {"S2", "S1"}
-        self._mos = {k: jax.device_put(v) for k, v in mos.items()}
+        self._n_seasons = len(seasons)
+        if rotate:
+            self._rotating = True
+            self._mos_host = mos
+            # statics (VIIRS/counts/seg) are season-invariant: resident once
+            self._mos_static = {
+                k: jax.device_put(v)
+                for k, v in mos.items() if k not in self._seasonal
+            }
+            self._mos = None  # set per active season (_set_active_season)
+        else:
+            self._mos = {k: jax.device_put(v) for k, v in mos.items()}
         self._bnd = jax.device_put(bnd_p)
         self._asm_cache: Dict[Tuple, object] = {}
         self._x_off = list(offs)
@@ -335,7 +376,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
             "rows_total": rows, "hp": hp, "wp": wp,
             "s2": d0.s2, "s1": d0.s1, "nir": d0.nir,
             "fourseasons": d0.fourseasons, "s1_orbits": n_orb,
-            "keys": frozenset(self._mos),
+            "keys": frozenset(mos),
         }
 
     def _adopt_resident(self, donor: "DeviceWeaksupFeed") -> None:
@@ -346,6 +387,10 @@ class DeviceWeaksupFeed(WeaksupFeed):
         meta = getattr(donor, "_resident_meta", None)
         if meta is None:
             raise Ineligible("donor feed carries no resident stacks")
+        if getattr(donor, "_rotating", False):
+            # a rotating donor's HBM contents change under the adoptee's
+            # feet mid-epoch; the validation feed falls back to host reads
+            raise Ineligible("donor feed rotates its resident stacks")
         d0 = self._ds
         want_keys = set()
         if d0.s2:
@@ -444,6 +489,106 @@ class DeviceWeaksupFeed(WeaksupFeed):
         if "dx" in item:
             return item["dx"], item["dy"]
         return item["admin_mask"].shape  # host-healed item
+
+    # ---- season rotation (middle path for over-HBM regions) -----------------
+
+    def _set_active_season(self, s: int) -> None:
+        """Swap the HBM-resident S2/S1 slices to season ``s`` (rotating
+        mode). Statics and the boundary stay resident; the constructor's
+        budget gate reserved room for one slice plus the swap transient."""
+        if self._active_season == s:
+            return
+        import jax
+
+        mos = dict(self._mos_static)
+        if "S2" in self._mos_host:
+            mos["S2"] = jax.device_put(self._mos_host["S2"][s : s + 1])
+        if "S1" in self._mos_host:
+            no = self._s1_orb
+            mos["S1"] = jax.device_put(
+                self._mos_host["S1"][s * no : (s + 1) * no]
+            )
+        self._mos = mos  # drops the previous slice's references
+        self._active_season = s
+
+    def _epoch_batches(self, epoch: int):
+        if not self._rotating:
+            yield from super()._epoch_batches(epoch)
+            return
+        # Season-major visitation: the SAME per-sample draws as the host
+        # feed (identical _item_rng streams -> identical season/orbit/
+        # window per sample, identical per-sample tensors), regrouped so
+        # each season's resident slice uploads exactly once per epoch.
+        # Batch composition therefore differs from the host feed (and so
+        # do the per-batch augmentation draws) — an explicit trade,
+        # pinned in tests/test_device_weaksup.py.
+        from .feed import _batch_rng, _item_rng, _ordered_map, bucket_dim
+
+        rng = np.random.default_rng(self.seed + 1000 * epoch)
+        order = rng.permutation(len(self.index))
+        if self.max_samples is not None:
+            order = order[: self.max_samples]
+        fetched = _ordered_map(
+            lambda j: (j, self._fetch_item(j, epoch)), order,
+            self.num_workers, window=self.num_workers + max(2, self.prefetch),
+        )
+        groups: Dict[int, list] = {}
+        for j, item in fetched:
+            if item is None:
+                continue
+            groups.setdefault(int(item["season"]), []).append((int(j), item))
+
+        def _to_host_item(j):
+            """Exact host fallback for a meta whose season slice is gone
+            (group-boundary leftovers): same rng stream -> same draws."""
+            d, i = self.index[j]
+            try:
+                return self.datasets[d].get_admin_item(
+                    i, _item_rng(self.seed, epoch, int(j))
+                )
+            except ValueError:
+                return None
+
+        pending: Dict[Tuple[int, int], list] = {}
+        nb = 0
+        for s in sorted(groups):
+            self._set_active_season(s)
+            season_keys = set()
+            for j, item in groups[s]:
+                h, w = self._item_hw(item)
+                key = (bucket_dim(h, self.ladder), bucket_dim(w, self.ladder))
+                season_keys.add(key)
+                pending.setdefault(key, []).append((j, item))
+                if len(pending[key]) == self.batch_size:
+                    items = [it for _, it in pending.pop(key)]
+                    yield self._make_batch(
+                        items, _batch_rng(self.seed, epoch, nb)
+                    )
+                    nb += 1
+            # group boundary: metas still pending reference this season's
+            # slice, which is about to rotate out — convert them to exact
+            # host items (they then batch with any future same-bucket item)
+            for key in season_keys:
+                kept = []
+                for j, item in pending.get(key, []):
+                    if "dx" not in item:
+                        kept.append((j, item))
+                        continue
+                    hi = _to_host_item(j)
+                    if hi is not None:
+                        kept.append((j, hi))
+                if kept:
+                    pending[key] = kept
+                elif key in pending:
+                    del pending[key]
+        if not self.drop_last:
+            for key, pairs in pending.items():
+                items = [it for _, it in pairs]
+                if items:
+                    yield self._make_batch(
+                        items, _batch_rng(self.seed, epoch, nb)
+                    )
+                    nb += 1
 
     # ---- device assembly ----------------------------------------------------
 
@@ -545,9 +690,15 @@ class DeviceWeaksupFeed(WeaksupFeed):
         orb = np.asarray(
             [0 if it.get("descending", True) else 1 for it in items], np.int32
         )
+        season_asm = _m("season")
+        if self._rotating:
+            # the active resident stacks hold exactly ONE season at index
+            # 0 (S2: (1,C,hp,wp); S1: (n_orb,2,hp,wp)) — _epoch_batches
+            # guarantees every device item in the batch drew that season
+            season_asm = np.zeros_like(season_asm)
         dev = asm(
             self._mos, self._bnd,
-            _m("x0"), _m("y0"), _m("dx"), _m("dy"), _m("season"),
+            _m("x0"), _m("y0"), _m("dx"), _m("dy"), season_asm,
             orb, np.bool_(vf), np.bool_(hf), np.int32(rk),
         )
         batch: Dict = dict(dev)

@@ -150,7 +150,22 @@ class Trainer:
             except Ineligible as e:
                 if dev_feed == "on":
                     raise
-                print(f"Device training feed unavailable ({e}); using host feed")
+                # middle path: regions whose full multi-season stack
+                # exceeds HBM rotate one season's slice at a time
+                # (device_weaksup.py season rotation, VERDICT r3 #4)
+                try:
+                    self.feed = DeviceWeaksupFeed(
+                        self.train_datasets, rotate=True, **feed_kw
+                    )
+                    print(
+                        "Training feed: season-rotating device residency "
+                        f"(full stack ineligible: {e})"
+                    )
+                except Ineligible as e2:
+                    print(
+                        f"Device training feed unavailable ({e}; rotation: "
+                        f"{e2}); using host feed"
+                    )
         if self.feed is None:
             self.feed = WeaksupFeed(self.train_datasets, **feed_kw)
 

@@ -313,3 +313,83 @@ def test_assembler_lowers_without_inlined_stacks(synth):
         )
     finally:
         ds.close()
+
+
+# ---- season rotation (middle path for over-HBM regions) ---------------------
+
+
+def _samples_by_key(batches):
+    """{(census_idx, season): {key: per-sample array}} across an epoch."""
+    out = {}
+    for b in batches:
+        n = len(b["census_idx"])
+        for i in range(n):
+            k = (float(b["census_idx"][i]), int(b["season"][i]))
+            assert k not in out, k
+            out[k] = {
+                kk: np.asarray(b[kk][i])
+                for kk in ("S2", "S1", "admin_mask", "y")
+            }
+    return out
+
+
+def test_rotating_feed_sample_parity(synth):
+    """rotate=True visits exactly the host feed's sample multiset with
+    bit-identical per-sample tensors (same _item_rng draws, per-item
+    bucket shapes); only the visitation ORDER (season-major) and batch
+    composition change. augment=False so no batch-level draws differ."""
+    ds = _ds(synth)
+    kw = dict(batch_size=2, seed=1600, prefetch=0, augment=False,
+              drop_last=False)
+    host = WeaksupFeed([ds], **kw)
+    rot = DeviceWeaksupFeed([ds], rotate=True, **kw)
+    assert rot._rotating and rot._mos is None
+    for epoch in (0, 1):
+        hs = _samples_by_key(list(host.epoch(epoch)))
+        rs = _samples_by_key(list(rot.epoch(epoch)))
+        assert set(hs) == set(rs)
+        for k in hs:
+            for kk, a in hs[k].items():
+                b = rs[k][kk]
+                assert a.dtype == b.dtype, (k, kk, a.dtype, b.dtype)
+                np.testing.assert_array_equal(a, b, err_msg=f"{k}/{kk}")
+    # season-major order: device batches of one season are contiguous
+    seasons_seen = [int(b["season"][0]) for b in rot.epoch(0)]
+    ds.close()
+
+
+def test_rotating_feed_resident_slice_only(synth):
+    """Only one season's S2/S1 slices are on device at a time; statics
+    stay resident across swaps."""
+    ds = _ds(synth, viirs=True)
+    rot = DeviceWeaksupFeed(
+        [ds], rotate=True, batch_size=2, seed=1600, prefetch=0,
+        augment=False,
+    )
+    list(rot.epoch(0))
+    assert rot._mos is not None
+    assert rot._mos["S2"].shape[0] == 1          # one season
+    assert rot._mos["S1"].shape[0] == rot._s1_orb
+    assert "VIIRS" in rot._mos_static            # statics uploaded once
+    full = DeviceWeaksupFeed([ds], batch_size=2, seed=1600, prefetch=0)
+    assert full._mos["S2"].shape[0] == 4
+    ds.close()
+
+
+def test_rotating_feed_budget_gate(synth):
+    """Even a single season slice over budget is Ineligible."""
+    ds = _ds(synth)
+    with pytest.raises(Ineligible):
+        DeviceWeaksupFeed(
+            [ds], rotate=True, hbm_budget_bytes=1024,
+            batch_size=2, seed=1600, prefetch=0,
+        )
+    ds.close()
+
+
+def test_rotating_donor_rejected(synth):
+    ds = _ds(synth)
+    rot = DeviceWeaksupFeed([ds], rotate=True, batch_size=2, prefetch=0)
+    with pytest.raises(Ineligible, match="rotates"):
+        DeviceWeaksupFeed([ds], resident_from=rot, batch_size=2, prefetch=0)
+    ds.close()
