@@ -722,35 +722,63 @@ def _run_device_feed_pass(
 
         bar = tqdm(total=len(coords), leave=False, desc="device-feed")
 
-    # Overlapping next-season assembly with this season's device compute
-    # only pays when a spare core exists: on a 1-core host the assembly
-    # thread's numpy passes starve the dispatch thread (measured 2x
-    # slowdown on BOTH sides), so run serially there.
+    # Three-stage season pipeline: host read/assemble (A), H2D upload (U),
+    # device compute (C). Uploads always run on a dedicated worker — a
+    # device_put is DMA/tunnel work that releases the GIL, so U(s)
+    # overlaps both A(s+1) and the still-draining C(s-1) even on a 1-core
+    # host. Assembly of the NEXT season additionally moves to its own
+    # thread when a spare core exists (on a 1-core host the assembly
+    # thread's numpy passes starve the dispatch thread — measured 2x
+    # slowdown on BOTH sides — so there A(s+1) runs inline in the main
+    # thread WHILE U(s) transfers, which is still fully overlapped).
+    # timings keys: *_s are pipeline-stage spans wherever they ran;
+    # feed_wait_s / upload_s count only MAIN-THREAD BLOCKED time, so
+    # steady wall ~= warmup + feed_wait + upload + dispatch and the spans
+    # show what the pipeline hid (read_span_s, upload_span_s).
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor as _TPE
 
     overlap = (_os.cpu_count() or 1) > 2
+
+    def _upload(mos_host):
+        t0 = _time.perf_counter()
+        dev = jax.device_put(mos_host)
+        jax.block_until_ready(dev)
+        return dev, _time.perf_counter() - t0
 
     _assemble(order[0])
     accs = dev_accs
     remaining: list = []
     first_visit = True
+    up_pool = _TPE(max_workers=1)
     try:
         for si, s in enumerate(order):
             if s not in holder:
-                # serial path: the device is still crunching the previous
-                # season's crops while this assembly runs on the host
+                # pipeline bubble: this season's assembly did not finish
+                # ahead of time (first season, or serial 1-core mode)
                 _assemble(s)
             mos_host, nan_q = holder.pop(s)
             t_asm = holder.pop(f"t{s}")
             if timings is not None:
-                timings["feed_wait_s"] += t_asm
-            # assemble the NEXT season on a thread (multi-core hosts only):
-            # the native reader releases the GIL, so decode overlaps this
-            # season's device compute and upload
+                timings["read_span_s"] = timings.get("read_span_s", 0.0) + t_asm
+                if si == 0 or not overlap:
+                    # time the main thread actually stood still for A(s);
+                    # in threaded mode later seasons assemble off-thread
+                    timings["feed_wait_s"] += t_asm
+            up_fut = up_pool.submit(_upload, mos_host)
+            del mos_host
             th = None
-            if overlap and si + 1 < len(order):
-                th = _threading.Thread(target=_assemble, args=(order[si + 1],))
-                th.start()
+            if si + 1 < len(order):
+                if overlap:
+                    th = _threading.Thread(
+                        target=_assemble, args=(order[si + 1],)
+                    )
+                    th.start()
+                else:
+                    # 1-core: assemble the next season NOW — U(s) is in
+                    # flight on the worker, so the link and the CPU work
+                    # concurrently (and C(s-1) is still draining on device)
+                    _assemble(order[si + 1])
             season_idxs = [int(i) for i in by_season[s]]
             if nan_q:
                 # tile-level hybrid: only patches whose window overlaps a
@@ -772,13 +800,17 @@ def _run_device_feed_pass(
                         clean.append(idx)
                 season_idxs = clean
             if not season_idxs:
-                pass  # whole season needs healing (or has no patches)
+                up_fut.result()  # keep the pipeline's HBM budget bounded
             else:
                 t0 = _time.perf_counter()
-                mos_dev = jax.device_put(mos_host)
+                mos_dev, t_up = up_fut.result()
                 if timings is not None:
+                    # blocked = what the upload actually cost the pipeline;
+                    # span = the transfer itself (overlapped with A(s+1))
                     timings["upload_s"] += _time.perf_counter() - t0
-                del mos_host
+                    timings["upload_span_s"] = (
+                        timings.get("upload_span_s", 0.0) + t_up
+                    )
                 t0 = _time.perf_counter()
                 booked_warmup = first_visit
                 for idx in season_idxs:
@@ -827,6 +859,7 @@ def _run_device_feed_pass(
             if th is not None:
                 th.join()
     finally:
+        up_pool.shutdown(wait=True)
         if bar is not None:
             bar.close()
     return sorted(remaining), accs
