@@ -183,11 +183,25 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
         steady = max(timings.get("total_s", t_eval) - warm, 1e-9)
         dev_s = n / device_pps if device_pps else float("nan")
         util = dev_s / steady
+        # pipeline overlap: feed_wait_s/upload_s are MAIN-THREAD BLOCKED
+        # times; read_span_s/upload_span_s are the stages' true durations
+        # wherever they ran (reader thread / upload worker). span - blocked
+        # = work the 3-stage pipeline hid under device compute or under
+        # the other host stages.
+        read_span = timings.get("read_span_s", timings["feed_wait_s"])
+        up_span = timings.get("upload_span_s", timings.get("upload_s", 0.0))
+        hidden = max(
+            (read_span - timings["feed_wait_s"])
+            + (up_span - timings.get("upload_s", 0.0)),
+            0.0,
+        )
         log(
             f"full_pipeline[{mode}]: {n} patch-visits in {t_eval:.1f}s "
             f"(feed_wait {timings['feed_wait_s']:.1f}s, upload "
             f"{timings.get('upload_s', 0.0):.1f}s, warmup {warm:.1f}s, dispatch "
-            f"{timings['dispatch_s']:.1f}s, finalize {timings['finalize_s']:.1f}s); "
+            f"{timings['dispatch_s']:.1f}s, finalize {timings['finalize_s']:.1f}s; "
+            f"spans: read {read_span:.1f}s, upload {up_span:.1f}s -> "
+            f"{hidden:.1f}s hidden by the pipeline); "
             f"device-time est {dev_s:.1f}s -> chip {util * 100:.0f}% busy "
             f"steady-state; {n / steady:.2f} patches/s e2e (excl. one-time "
             f"executable warmup)"
@@ -196,6 +210,9 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
             "eval_s": round(t_eval, 2),
             "feed_wait_s": round(timings["feed_wait_s"], 2),
             "upload_s": round(timings.get("upload_s", 0.0), 2),
+            "read_span_s": round(read_span, 2),
+            "upload_span_s": round(up_span, 2),
+            "pipeline_hidden_s": round(hidden, 2),
             "warmup_s": round(warm, 2),
             "dispatch_s": round(timings["dispatch_s"], 2),
             "finalize_s": round(timings["finalize_s"], 2),
@@ -241,15 +258,13 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
     # Whole-region spatially-partitioned eval (run_eval --spatial,
     # infer/spatial.py): seasons upload once, every member runs the whole
     # region in ONE forward — no overlap recompute (the 2048/128 stitch
-    # pays 1.31x pixels), no stitch, exact border ring. Single chip
-    # handles ~6k^2 full-res plain-layout activations; bigger regions
-    # need the pod (rows shard over 'data').
-    # Single-chip ceiling measured empirically: 4096^2 whole-region bf16
-    # compiles and runs; 4608^2 crashes the compile with an HBM overflow
-    # (member-scan keeps one member's full-res plain-layout activations
-    # live). Bigger regions are the pod case (rows shard over 'data');
-    # the bench clamps its spatial stage to the measured single-chip max.
-    sp_size = min(size, 4096)
+    # pays 1.31x pixels), no stitch, exact border ring.
+    # Single-chip ceiling (round 4, wide-engine members + row-chunked
+    # builder + member strip fold): 8192^2 bf16 compiles and RUNS
+    # (temp 8.8 GB, 4.7 s steady per season fold); 12288^2 still fails
+    # the compile — that is the pod case (rows shard over 'data'). The
+    # bench clamps its spatial stage to the measured single-chip max.
+    sp_size = min(size, 8192)
     sp_est = (
         sp_size * sp_size * 64 / 1e6 / up  # upload the 4 seasons
         + sp_size * sp_size * 16 / 1e6 / down  # 4 f32 maps at finalize
@@ -408,6 +423,17 @@ def train_e2e_bench(params0, consts, mcfg, size, max_samples, link, deadline):
         except Exception as e:  # Ineligible or OOM: report, keep host number
             log(f"device training feed unavailable in bench: {e}")
             out["device_feed"] = {"error": str(e)[:200]}
+        # middle path for over-HBM regions (VERDICT r3 #4): rotation is
+        # forced here even though the bench region fits, so the number
+        # measures the rotating data plane itself (4 season swaps/epoch)
+        try:
+            out["rotating_feed"] = measure(
+                DeviceWeaksupFeed([ds], rotate=True, **feed_kw),
+                "rotating feed",
+            )
+        except Exception as e:
+            log(f"rotating training feed unavailable in bench: {e}")
+            out["rotating_feed"] = {"error": str(e)[:200]}
     ds.close()
     return out
 
@@ -624,6 +650,49 @@ def main():
     train_mpix = tb * th * tw / tdt / 1e6
     log(f"train step {tb}x{th}^2: {tdt * 1e3:.1f} ms ({train_mpix:.1f} Mpix/s fwd+bwd)")
 
+    # ---- FLOPs / MFU accounting (VERDICT r3 #6) -----------------------------
+    # useful = analytic model-math FLOPs (utils/flops.py, pinned against
+    # XLA's cost model in tests/test_flops.py); executed = XLA cost model
+    # of scan-free probes of the same executables (the member fold is a
+    # lax.scan, whose body XLA's analysis counts once).
+    flops_report = {}
+    try:
+        from popcorn_tpu.utils.flops import (
+            device_peak_flops,
+            eval_executed_probe,
+            eval_patch_flops,
+            mfu_line,
+            train_step_flops,
+        )
+
+        peak = device_peak_flops(devices[0])
+        useful_patch = eval_patch_flops(ips, ips, n_members)
+        flops_report["ensemble_useful"] = mfu_line(pps, useful_patch, peak)
+        probe = eval_executed_probe(
+            mcfg, consts, stats, members[0],
+            {k: dev_batch[k] for k in ("S2", "S1")},
+        )
+        if probe:
+            executed_patch = probe["prep"] + n_members * probe["member"]
+            flops_report["ensemble_executed"] = mfu_line(pps, executed_patch, peak)
+            flops_report["engine"] = probe["engine"]
+            flops_report["lift_blowup"] = round(executed_patch / useful_patch, 2)
+        useful_step = train_step_flops(th, tw, tb)
+        flops_report["train_useful"] = mfu_line(1.0 / tdt, useful_step, peak)
+        try:
+            from popcorn_tpu.utils.flops import executed_flops
+
+            f_step = executed_flops(step, p, o, train_batch, key)
+            if f_step:
+                flops_report["train_executed"] = mfu_line(1.0 / tdt, f_step, peak)
+        except Exception:
+            pass
+        if peak:
+            flops_report["peak_tflops_bf16"] = round(peak / 1e12, 1)
+        log(f"flops/MFU: {flops_report}")
+    except Exception as e:
+        log(f"flops accounting failed: {type(e).__name__}: {e}")
+
     result = {
         "metric": "ensemble5_2048px_patches_per_sec",
         "value": round(pps, 4),
@@ -645,6 +714,10 @@ def main():
         "link_mbps": {"up": round(link[0], 1), "down": round(link[1], 1)},
         "bench_region_px": bench_size,
     }
+    if flops_report:
+        # useful vs executed TFLOP/s and MFU (fraction of chip bf16 peak);
+        # lift_blowup = executed/useful of the active engine's layout lift
+        result["flops"] = flops_report
     if qs_pps:
         # opt-in --quantize int8s (corr 0.9997 vs bf16; PERF_NOTES round 3)
         result["int8s_patches_per_sec"] = round(qs_pps, 4)
