@@ -165,6 +165,8 @@ class DeviceWeaksupFeed(WeaksupFeed):
         self._rotating = False
         self._mos_host: Optional[Dict[str, np.ndarray]] = None
         self._active_season: Optional[int] = None
+        self._next_slices = None  # (season, Future) from _prefetch_season
+        self._up_pool = None
 
         dss = self.datasets
         if any(d.mode != "weaksup" for d in dss):
@@ -492,22 +494,57 @@ class DeviceWeaksupFeed(WeaksupFeed):
 
     # ---- season rotation (middle path for over-HBM regions) -----------------
 
+    def _upload_slices(self, s: int) -> Dict:
+        """device_put season ``s``'s S2/S1 slices; blocks until resident."""
+        import jax
+
+        sl = {}
+        if "S2" in self._mos_host:
+            sl["S2"] = jax.device_put(self._mos_host["S2"][s : s + 1])
+        if "S1" in self._mos_host:
+            no = self._s1_orb
+            sl["S1"] = jax.device_put(
+                self._mos_host["S1"][s * no : (s + 1) * no]
+            )
+        return jax.block_until_ready(sl)
+
+    def _prefetch_season(self, s: int) -> None:
+        """Start uploading season ``s``'s slices on a worker thread while
+        the current season trains — device_put releases the GIL, so the
+        transfer rides under device compute and host batch assembly. The
+        constructor's budget gate already reserves the two-slice
+        transient this holds (prefetched + active)."""
+        if self._active_season == s:
+            return
+        pending = self._next_slices
+        if pending is not None and pending[0] == s:
+            return
+        if pending is not None:
+            pending[1].result()  # discard a stale prefetch (bounds HBM)
+        if self._up_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._up_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="season-prefetch"
+            )
+        self._next_slices = (s, self._up_pool.submit(self._upload_slices, s))
+
     def _set_active_season(self, s: int) -> None:
         """Swap the HBM-resident S2/S1 slices to season ``s`` (rotating
         mode). Statics and the boundary stay resident; the constructor's
-        budget gate reserved room for one slice plus the swap transient."""
+        budget gate reserved room for one slice plus the swap transient.
+        Uses the prefetched slices when ``_prefetch_season(s)`` ran."""
         if self._active_season == s:
             return
-        import jax
-
+        pending, self._next_slices = self._next_slices, None
+        if pending is not None and pending[0] == s:
+            sl = pending[1].result()
+        else:
+            if pending is not None:
+                pending[1].result()  # stale prefetch: drop it
+            sl = self._upload_slices(s)
         mos = dict(self._mos_static)
-        if "S2" in self._mos_host:
-            mos["S2"] = jax.device_put(self._mos_host["S2"][s : s + 1])
-        if "S1" in self._mos_host:
-            no = self._s1_orb
-            mos["S1"] = jax.device_put(
-                self._mos_host["S1"][s * no : (s + 1) * no]
-            )
+        mos.update(sl)
         self._mos = mos  # drops the previous slice's references
         self._active_season = s
 
@@ -551,8 +588,16 @@ class DeviceWeaksupFeed(WeaksupFeed):
 
         pending: Dict[Tuple[int, int], list] = {}
         nb = 0
-        for s in sorted(groups):
+        season_order = sorted(groups)
+        for si, s in enumerate(season_order):
             self._set_active_season(s)
+            # upload the NEXT slice on a worker while this season trains;
+            # at the epoch's last season, prefetch its first (the epochs'
+            # season order is deterministic), hiding the next epoch's
+            # opening swap under validation/checkpoint host work
+            nxt = season_order[(si + 1) % len(season_order)]
+            if nxt != s:
+                self._prefetch_season(nxt)
             season_keys = set()
             for j, item in groups[s]:
                 h, w = self._item_hw(item)

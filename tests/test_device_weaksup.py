@@ -387,6 +387,39 @@ def test_rotating_feed_budget_gate(synth):
     ds.close()
 
 
+def test_rotating_feed_prefetch(synth):
+    """The next season's slices upload on the worker while the current
+    season trains, _set_active_season installs the prefetched arrays
+    (no second upload), the epoch ends having prefetched the next
+    epoch's opening season, and a stale prefetch is discarded safely."""
+    ds = _ds(synth)
+    rot = DeviceWeaksupFeed(
+        [ds], rotate=True, batch_size=2, seed=1600, prefetch=0,
+        augment=False,
+    )
+    seasons = []
+    for b in rot.epoch(0):
+        s = int(b["season"][0])
+        if not seasons or seasons[-1] != s:
+            seasons.append(s)
+        if len(seasons) >= 2 and rot._next_slices is not None:
+            # mid-epoch: the pending prefetch is for a future season
+            assert rot._next_slices[0] != rot._active_season
+    # epoch-end prefetch points at the next epoch's first season
+    assert rot._next_slices is not None
+    first = sorted(seasons)[0]
+    assert rot._next_slices[0] == first
+    pre = rot._next_slices[1].result()
+    rot._set_active_season(first)
+    assert rot._mos["S2"] is pre["S2"]  # installed, not re-uploaded
+    # stale prefetch: pending for season A, activate season B
+    rot._prefetch_season((first + 1) % 4)
+    rot._set_active_season((first + 2) % 4)
+    assert rot._next_slices is None
+    assert rot._mos["S2"].shape[0] == 1
+    ds.close()
+
+
 def test_rotating_donor_rejected(synth):
     ds = _ds(synth)
     rot = DeviceWeaksupFeed([ds], rotate=True, batch_size=2, prefetch=0)
