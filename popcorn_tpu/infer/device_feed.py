@@ -68,7 +68,7 @@ def season_arrays(
     S2 rides uint16 when the f32 roundtrip is lossless (the mosaics are
     stored uint16, reference README.md:245) — half the upload bytes.
     """
-    from ..data.device_weaksup import _tile_integral
+    from ..data.device_weaksup import _nan_tile_integral
 
     h, w = dataset.shape()
     window = ((0, h), (0, w))
@@ -84,18 +84,18 @@ def season_arrays(
             out["S2"] = arr
         else:
             arr = src.read(bands, window)
-            nan2d = np.isnan(arr).any(axis=0)
-            if nan2d.any():
-                nan_q["S2"] = _tile_integral(nan2d)
+            q = _nan_tile_integral(arr)
+            if q is not None:
+                nan_q["S2"] = q
                 out["S2"] = np.ascontiguousarray(arr, np.float32)
             else:
                 u16 = arr.astype(np.uint16)
                 out["S2"] = u16 if np.array_equal(u16, arr) else arr
     if dataset.s1:
         arr = dataset._source("S1", season_idx, asc=False).read((1, 2), window)
-        nan2d = np.isnan(arr).any(axis=0)
-        if nan2d.any():
-            nan_q["S1"] = _tile_integral(nan2d)
+        q = _nan_tile_integral(arr)
+        if q is not None:
+            nan_q["S1"] = q
         out["S1"] = np.ascontiguousarray(arr, np.float32)
     if dataset.viirs:
         # VIIRS is not healed by the reference's test path either

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ModelConfig
 from ..data.normalize import NormStats, normalize_and_assemble
 from ..dist.mesh import device_put_global, fetch_to_host
+from ..io.geotiff import has_nan
 from ..nn.popcorn import create_building_score, popcorn_forward
 
 Tree = Dict
@@ -486,7 +487,7 @@ def run_spatial_inference(
         sample = {}
         for k, arr in mosaics.items():
             a = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
-            if a.dtype.kind == "f" and np.isnan(a).any():
+            if a.dtype.kind == "f" and has_nan(a):
                 # whole-frame healing (the patch path heals per window;
                 # identical wherever a window holds the NaN's full
                 # interpolation neighbourhood)

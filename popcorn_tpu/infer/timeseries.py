@@ -27,7 +27,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..data.dataset import interpolate_nan, patch_grid, validity_mask
 from ..data.normalize import NormStats, normalize_and_assemble
-from ..io.geotiff import GeoTIFF, write_geotiff
+from ..io.geotiff import GeoTIFF, has_nan, write_geotiff
 from ..nn.popcorn import create_building_score
 
 Tree = Dict
@@ -76,7 +76,7 @@ def _read_frame(path: str, bands) -> np.ndarray:
     with GeoTIFF(path) as g:
         arr = g.read(bands)
     arr = np.transpose(arr, (1, 2, 0)).astype(np.float32)
-    if np.isnan(arr).any():
+    if has_nan(arr):
         arr = interpolate_nan(arr)
     return arr
 

@@ -111,3 +111,84 @@ def test_out_of_bounds_window(tmp_path, rng):
     with GeoTIFF(p) as g:
         with pytest.raises(IOError):
             g.read(window=((0, 64), (0, 32)))
+
+
+# ---- native NaN scans (gt_nan_tile_any / gt_has_nan_f32) --------------------
+# One streaming pass replacing the numpy isnan->any->pool detour the mosaic
+# feeds used (device_weaksup._nan_tile_integral, device_feed.season_arrays).
+
+
+def _ref_tiles(arr, tile):
+    if arr.ndim == 2:
+        arr = arr[None]
+    mask = np.isnan(arr).any(axis=0)
+    h, w = mask.shape
+    th, tw = -(-h // tile), -(-w // tile)
+    pad = np.zeros((th * tile, tw * tile), bool)
+    pad[:h, :w] = mask
+    return pad.reshape(th, tile, tw, tile).any(axis=(1, 3))
+
+
+@pytest.mark.parametrize("shape", [(2, 200, 321), (1, 32, 32), (3, 65, 31), (70, 45)])
+@pytest.mark.parametrize("tile", [32, 17])
+def test_nan_tile_any_matches_numpy(rng, shape, tile):
+    from popcorn_tpu.io.geotiff import nan_tile_any
+
+    arr = rng.standard_normal(shape).astype(np.float32)
+    # sprinkle NaNs, incl. the very last element (partial-tile edge)
+    flat = arr.reshape(-1)
+    idx = rng.integers(0, flat.size, size=max(1, flat.size // 97))
+    flat[idx] = np.nan
+    flat[-1] = np.nan
+    got = nan_tile_any(arr, tile)
+    np.testing.assert_array_equal(got, _ref_tiles(arr, tile))
+
+
+def test_nan_tile_any_clean_and_integer(rng):
+    from popcorn_tpu.io.geotiff import nan_tile_any
+
+    clean = rng.standard_normal((2, 64, 64)).astype(np.float32)
+    assert not nan_tile_any(clean).any()
+    u16 = (clean * 100).astype(np.uint16)
+    assert not nan_tile_any(u16).any()  # integer data cannot hold NaN
+
+
+def test_nan_tile_any_noncontiguous_fallback(rng):
+    from popcorn_tpu.io.geotiff import nan_tile_any
+
+    arr = rng.standard_normal((64, 64, 2)).astype(np.float32)
+    arr[3, 7, 1] = np.nan
+    v = np.transpose(arr, (2, 0, 1))  # non-contiguous view
+    np.testing.assert_array_equal(nan_tile_any(v, 32), _ref_tiles(v, 32))
+
+
+def test_has_nan_paths(rng):
+    from popcorn_tpu.io.geotiff import has_nan
+
+    a = rng.standard_normal((3, 40, 50)).astype(np.float32)
+    assert not has_nan(a)
+    a[2, 39, 49] = np.nan
+    assert has_nan(a)
+    # transpose view scans its contiguous base (order-independent)
+    assert has_nan(np.transpose(a, (1, 2, 0)))
+    assert not has_nan(np.transpose(np.zeros((2, 8, 8), np.float32), (1, 2, 0)))
+    # sliced view does NOT cover the base: must fall back, stay correct
+    b = np.full((4, 4), np.nan, np.float32)
+    b[1:3, 1:3] = 0.0
+    assert not has_nan(b[1:3, 1:3])
+    assert not has_nan(np.zeros((4, 4), np.int32))
+    assert has_nan(np.array([1.0, np.nan], np.float64))
+
+
+def test_nan_tile_integral_equivalence(rng):
+    from popcorn_tpu.data.device_weaksup import (
+        _nan_tile_integral,
+        _tile_integral,
+    )
+
+    arr = rng.standard_normal((2, 150, 222)).astype(np.float32)
+    assert _nan_tile_integral(arr) is None
+    arr[0, 77, 191] = np.nan
+    arr[1, 0, 0] = np.nan
+    ref = _tile_integral(np.isnan(arr).any(axis=0))
+    np.testing.assert_array_equal(_nan_tile_integral(arr), ref)
