@@ -132,6 +132,14 @@ def train_parser() -> argparse.ArgumentParser:
                         "exceeds HBM fall back to SEASON ROTATION (one "
                         "season's slice resident at a time, uploaded once "
                         "per epoch), then to the host feed")
+    p.add_argument("--transport", choices=("exact", "bf16"), default="exact",
+                   help="data-plane dtype for float image modalities: "
+                        "'bf16' ships/stores S1 (and float-sourced S2) as "
+                        "bfloat16 — half the upload bytes and HBM "
+                        "residency. Opt-in and lossy (~3 significant "
+                        "digits on raw values, before normalization); "
+                        "census-level accuracy pinned in "
+                        "tests/test_transport.py")
     return p
 
 
@@ -183,6 +191,14 @@ def eval_parser() -> argparse.ArgumentParser:
                         "per-slab activation scales; 'int8s' = static "
                         "calibrated scales with int8 block I/O (faster, "
                         "slightly coarser; single-chip path)")
+    p.add_argument("--transport", choices=("exact", "bf16"), default="exact",
+                   help="data-plane dtype for float image modalities: "
+                        "'bf16' ships/stores S1 (and float-sourced S2) as "
+                        "bfloat16 — half the upload bytes and HBM "
+                        "residency. Opt-in and lossy (~3 significant "
+                        "digits on raw values, before normalization); "
+                        "census-level accuracy pinned in "
+                        "tests/test_transport.py")
     return p
 
 
@@ -253,6 +269,7 @@ def train_config_from_args(a) -> TrainConfig:
         device_feed=getattr(a, "device_feed", "auto"),
         spatial_train=getattr(a, "spatial_train", False),
         grad_accum=_validated_grad_accum(a),
+        transport=getattr(a, "transport", "exact"),
     )
 
 
@@ -287,4 +304,5 @@ def eval_config_from_args(a) -> EvalConfig:
         patchsize=getattr(a, "patchsize", 2048),
         overlap=getattr(a, "patch_overlap", 128),
         spatial=getattr(a, "spatial", False),
+        transport=getattr(a, "transport", "exact"),
     )

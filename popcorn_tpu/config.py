@@ -370,6 +370,9 @@ class TrainConfig:
     # applies ONE averaged update — peak activation HBM drops ~grad_accum x
     # for the same effective batch (pairs with remat_unet to push past the
     # reference's -lim1/-lim2 freeze tiers instead of freezing layers)
+    transport: str = "exact"  # data-plane dtype for float image modalities
+    # ('exact' | 'bf16'): bf16 halves S1 upload bytes + HBM residency;
+    # opt-in and lossy — see data/feed.py::transport_cast
 
 
 @dataclasses.dataclass
@@ -392,6 +395,9 @@ class EvalConfig:
     # (rows sharded over the mesh's 'data' axis, XLA halo exchange) instead
     # of the overlap-stitched sliding window — exact border ring, no
     # overlap recompute; for pods / regions that fit sharded in HBM
+    transport: str = "exact"  # data-plane dtype for float image modalities
+    # ('exact' | 'bf16'): bf16 halves S1 upload bytes + HBM residency;
+    # opt-in and lossy — see data/feed.py::transport_cast
 
     def __post_init__(self):
         # user-settable since round 2: a degenerate pair (patchsize <=

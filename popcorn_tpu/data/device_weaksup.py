@@ -47,7 +47,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .dataset import PopulationDataset
-from .feed import WeaksupFeed, bucket_dim
+from .feed import TRANSPORT_KEYS, WeaksupFeed, bucket_dim
 from ..aug.augment import draw_general, draw_photometric
 from ..io.geotiff import has_nan, nan_tile_any
 
@@ -231,24 +231,33 @@ class DeviceWeaksupFeed(WeaksupFeed):
 
         seasons = list(range(4)) if d0.fourseasons else [0]
         need = 0
+        # float image modalities resident dtype under the transport rule:
+        # bf16 halves their budget cost (and the upload), see feed.py
+        if self.transport == "bf16":
+            import ml_dtypes
+
+            fdt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            fdt = np.dtype(np.float32)
         planes: Dict[str, Tuple[np.dtype, int]] = {}
         if d0.s2:
-            # costed as float32 unless every season of every region is
-            # raw-uint16-readable: the lossless-u16 fallback conversion may
-            # still land on u16, but budgeting must never undercount
+            # costed as the float transport dtype unless every season of
+            # every region is raw-uint16-readable: the lossless-u16
+            # fallback conversion may still land on u16, but budgeting
+            # must never undercount
             s2_u16 = all(
                 _is_raw_u16_source(d._source("S2", s, False))
                 for d in dss for s in seasons
             )
             planes["S2"] = (
-                np.uint16 if s2_u16 else np.float32,
+                np.uint16 if s2_u16 else fdt,
                 len(seasons) * (4 if d0.nir else 3),
             )
         n_orb = 2 if d0.asc_aug else 1  # -ascAug: both orbit stacks resident
         if d0.s1:
-            planes["S1"] = (np.float32, len(seasons) * n_orb * 2)
+            planes["S1"] = (fdt, len(seasons) * n_orb * 2)
         if d0.viirs:
-            planes["VIIRS"] = (np.float32, 1)
+            planes["VIIRS"] = (fdt, 1)
         if d0._gb_counts is not None:
             planes["building_counts"] = (np.float32, 1)
         if d0._gb_seg is not None:
@@ -368,6 +377,19 @@ class DeviceWeaksupFeed(WeaksupFeed):
             if any(q is not None for q in qs):
                 self._nan_q[k] = qs
 
+        if self.transport == "bf16":
+            # transport rule on the resident stacks (data/feed.py::
+            # transport_cast): float32 image modalities ride bfloat16 —
+            # half the HBM residency and upload bytes for S1. Cast AFTER
+            # the NaN tables (bf16 keeps NaN, but the tables scan f32).
+            # Host-healed fallback items get the same cast in
+            # WeaksupFeed._make_batch, so per-sample dtypes stay equal.
+            import ml_dtypes
+
+            for k in TRANSPORT_KEYS:
+                if k in mos and mos[k].dtype == np.float32:
+                    mos[k] = mos[k].astype(ml_dtypes.bfloat16)
+
         self._seasonal = {"S2", "S1"}
         self._n_seasons = len(seasons)
         if rotate:
@@ -393,7 +415,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
             "rows_total": rows, "hp": hp, "wp": wp,
             "s2": d0.s2, "s1": d0.s1, "nir": d0.nir,
             "fourseasons": d0.fourseasons, "s1_orbits": n_orb,
-            "keys": frozenset(mos),
+            "keys": frozenset(mos), "transport": self.transport,
         }
 
     def _adopt_resident(self, donor: "DeviceWeaksupFeed") -> None:
@@ -408,6 +430,8 @@ class DeviceWeaksupFeed(WeaksupFeed):
             # a rotating donor's HBM contents change under the adoptee's
             # feet mid-epoch; the validation feed falls back to host reads
             raise Ineligible("donor feed rotates its resident stacks")
+        if meta.get("transport", "exact") != self.transport:
+            raise Ineligible("donor feed uses a different transport dtype")
         d0 = self._ds
         want_keys = set()
         if d0.s2:
@@ -801,7 +825,12 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 if a is not None and not np.array_equal(
                     a.astype(np.uint16), a
                 ):
-                    batch["S2"] = batch["S2"].astype(jnp.float32)
+                    # healed fractional values: leave uint16 for the batch's
+                    # float transport dtype (matches the host feed's rule)
+                    if self.transport == "bf16":
+                        batch["S2"] = batch["S2"].astype(jnp.bfloat16)
+                    else:
+                        batch["S2"] = batch["S2"].astype(jnp.float32)
                     break
         s2_u16 = "S2" in batch and batch["S2"].dtype == jnp.uint16
         for i in hosts:
@@ -817,6 +846,11 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 tgt = batch[k]
                 if tgt.ndim == a.ndim + 1 and tgt.shape[-1] == 1:
                     a = a[..., None]
+                if a.dtype != tgt.dtype:
+                    # explicit transport cast (f32 healed item into a bf16
+                    # batch): the host feed casts at the same point, and
+                    # jax scatter will reject the implicit downcast soon
+                    a = np.asarray(a).astype(tgt.dtype)
                 batch[k] = tgt.at[i].set(a)
         return batch
 

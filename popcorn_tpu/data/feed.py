@@ -111,6 +111,36 @@ def pad_item_to(
     return out
 
 
+# Modalities the transport rule applies to: the normalized image inputs
+# (their z-score runs on device AFTER the upcast, so transport precision
+# only touches raw sensor values). Masks/counts/targets always ride exact.
+TRANSPORT_KEYS = ("S2", "S1", "VIIRS")
+
+
+def transport_cast(batch: Dict, transport: str) -> Dict:
+    """Apply the data-plane ``transport`` rule to an assembled batch/dict.
+
+    "exact" (default): float modalities ship as float32 (plus the
+    lossless-uint16 S2 rule) — bit-parity with the reference's data
+    plane. "bf16": float32 image modalities ship as bfloat16 — HALF the
+    host->device bytes and HBM residency for S1 (S2 already rides 2-byte
+    uint16 when lossless). Opt-in and lossy (~3 significant digits on
+    raw sensor values, BEFORE normalization); census-level accuracy is
+    pinned by tests/test_transport.py. Geometric augmentations are index
+    permutations, so they commute with the cast and host/device feed
+    parity is preserved per mode."""
+    if transport == "bf16":
+        import ml_dtypes
+
+        for key in TRANSPORT_KEYS:
+            a = batch.get(key)
+            if a is not None and a.dtype == np.float32:
+                batch[key] = a.astype(ml_dtypes.bfloat16)
+    elif transport != "exact":
+        raise ValueError(f"unknown transport {transport!r}")
+    return batch
+
+
 class WeaksupFeed:
     """Batched, bucketed, augmented feed over one or more weaksup datasets
     (the ConcatDataset + DataLoader + transform stack of run_train.py:423-431).
@@ -130,7 +160,10 @@ class WeaksupFeed:
         segmentation_input: bool = False,
         max_samples: Optional[int] = None,
         num_workers: int = 1,
+        transport: str = "exact",
     ):
+        if transport not in ("exact", "bf16"):
+            raise ValueError(f"unknown transport {transport!r}")
         self.datasets = list(datasets)
         self.batch_size = batch_size
         self.ladder = tuple(bucket_ladder)
@@ -142,6 +175,7 @@ class WeaksupFeed:
         self.building_input = building_input
         self.segmentation_input = segmentation_input
         self.max_samples = max_samples
+        self.transport = transport
         self.index: List[Tuple[int, int]] = [
             (d, i) for d, ds in enumerate(self.datasets) for i in range(len(ds))
         ]
@@ -206,7 +240,7 @@ class WeaksupFeed:
             )
         else:
             batch["photometric"] = np.asarray([0.0, 1.0, 0.0, 1.0], np.float32)
-        return batch
+        return transport_cast(batch, self.transport)
 
     # hooks overridden by DeviceWeaksupFeed (device_weaksup.py): item fetch
     # and the (h, w) used for bucket grouping
@@ -293,11 +327,15 @@ class InferenceFeed:
         prefetch: int = 2,
         num_workers: int = 1,
         indices=None,
+        transport: str = "exact",
     ):
+        if transport not in ("exact", "bf16"):
+            raise ValueError(f"unknown transport {transport!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.transport = transport
         # optional subset of patch indices to serve (used by the
         # device-resident mosaic feed's partial fallback, infer/device_feed)
         self.indices = list(range(len(dataset))) if indices is None else list(indices)
@@ -348,7 +386,7 @@ class InferenceFeed:
             batch["season"] = np.asarray(
                 [it["season"] for it in items] + [items[-1]["season"]] * npad, np.int32
             )
-            yield batch
+            yield transport_cast(batch, self.transport)
 
     def __iter__(self) -> Iterator[Dict]:
         if self.prefetch <= 0:

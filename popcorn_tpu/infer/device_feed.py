@@ -53,7 +53,7 @@ def _read_raw_u16(src, bands, window) -> Optional[np.ndarray]:
 
 
 def season_arrays(
-    dataset: PopulationDataset, season_idx: int
+    dataset: PopulationDataset, season_idx: int, transport: str = "exact"
 ) -> Optional[Dict[str, np.ndarray]]:
     """Full-season modality mosaics as CHW numpy in transport dtype.
 
@@ -105,7 +105,13 @@ def season_arrays(
     if dataset._gb_counts is not None:
         arr = dataset._gb_counts.read(1, window=window)
         out["building_counts"] = np.ascontiguousarray(arr, np.float32)
-    return out, nan_q
+    # transport rule (data/feed.py::transport_cast): float32 image
+    # modalities ride bfloat16 when opted in — half the upload bytes and
+    # HBM residency for S1 (S2 already rides lossless uint16). Cast AFTER
+    # the NaN tables: bf16 keeps NaN, but the tables scan float32.
+    from ..data.feed import transport_cast
+
+    return transport_cast(out, transport), nan_q
 
 
 def make_device_crop(patch: int, channels_last_keys=("S2", "S1", "VIIRS")):

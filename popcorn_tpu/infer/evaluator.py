@@ -159,6 +159,7 @@ class Evaluator:
                     stats=self.stats,
                     mesh=self.mesh if self.mesh is not None else make_mesh(),
                     progress=True,
+                    transport=getattr(self.ecfg, "transport", "exact"),
                 )
             else:
                 maps = run_sliding_inference(
@@ -168,6 +169,7 @@ class Evaluator:
                     num_workers=self.ecfg.num_workers,
                     device_feed=getattr(self.ecfg, "device_feed", "auto"),
                     return_device=self.mesh is None,
+                    transport=getattr(self.ecfg, "transport", "exact"),
                 )
             is_dev = isinstance(maps["map"], jax.Array)
             writer = _MapWriter(ds) if save else None

@@ -680,6 +680,7 @@ def _run_device_feed_pass(
     batch_size: int,
     timings,
     progress: bool,
+    transport: str = "exact",
 ):
     """Run the sliding window from HBM-resident season mosaics.
 
@@ -713,7 +714,7 @@ def _run_device_feed_pass(
 
     def _assemble(s):
         t0 = _time.perf_counter()
-        holder[s] = season_arrays(dataset, s)
+        holder[s] = season_arrays(dataset, s, transport=transport)
         holder[f"t{s}"] = _time.perf_counter() - t0
 
     bar = None
@@ -880,6 +881,7 @@ def run_sliding_inference(
     return_device: bool = False,
     num_workers: int = 1,
     timings: Optional[Dict[str, float]] = None,
+    transport: str = "exact",
 ) -> Dict[str, np.ndarray]:
     """Full-region ensemble inference -> stitched mean/std maps.
 
@@ -1012,11 +1014,12 @@ def run_sliding_inference(
             add_misaligned=add_misaligned if packed_stitch else None,
             stitch_add=(stitch_add if (use_device and not packed_stitch) else None),
             batch_size=batch_size, timings=timings, progress=progress,
+            transport=transport,
         )
 
     feed = InferenceFeed(
         dataset, batch_size=batch_size, prefetch=2, num_workers=num_workers,
-        indices=remaining,
+        indices=remaining, transport=transport,
     )
     it = feed
     if progress and len(feed):

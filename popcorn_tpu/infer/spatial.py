@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..data.normalize import NormStats, normalize_and_assemble
+from ..data.feed import TRANSPORT_KEYS
 from ..dist.mesh import device_put_global, fetch_to_host
 from ..io.geotiff import has_nan
 from ..nn.popcorn import create_building_score, popcorn_forward
@@ -427,6 +428,7 @@ def run_spatial_inference(
     stats: Optional[NormStats] = None,
     mesh: Mesh,
     progress: bool = False,
+    transport: str = "exact",
 ) -> Dict[str, np.ndarray]:
     """Whole-region ensemble inference, spatially partitioned — the
     stitch-free counterpart of sliding.run_sliding_inference.
@@ -493,6 +495,12 @@ def run_spatial_inference(
                 # interpolation neighbourhood)
                 a = interpolate_nan(np.ascontiguousarray(a, np.float32))
             a, _ = _pad_frame(a, 4 * nd, 32)
+            if transport == "bf16" and k in TRANSPORT_KEYS and a.dtype == np.float32:
+                # transport rule (data/feed.py::transport_cast), applied
+                # AFTER healing — interpolate_nan runs in float32
+                import ml_dtypes
+
+                a = a.astype(ml_dtypes.bfloat16)
             sample[k] = device_put_global(a[None], sp4)
         acc = fold(stacked, sample, acc)
         n_seasons += 1

@@ -124,6 +124,7 @@ class Trainer:
             segmentation_input=mcfg.segmentation_input,
             max_samples=tcfg.max_samples,
             num_workers=tcfg.num_workers,
+            transport=getattr(tcfg, "transport", "exact"),
         )
         self.feed = None
         dev_feed = getattr(tcfg, "device_feed", "auto")
@@ -510,6 +511,7 @@ class Trainer:
                 building_input=self.mcfg.building_input,
                 segmentation_input=self.mcfg.segmentation_input,
                 num_workers=self.tcfg.num_workers,
+                transport=getattr(self.tcfg, "transport", "exact"),
             )
             feed = None
             if isinstance(self.feed, DeviceWeaksupFeed):

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def evaluate(checkpoints, data_root, region, train_level, fourseasons,
              patch_batch=1, paths=None, patchsize=2048, overlap=128,
-             spatial=False, quantize=None):
+             spatial=False, quantize=None, transport="exact"):
     from popcorn_tpu.cli.args import model_config_from_args
     from popcorn_tpu.config import DataPaths, EvalConfig
     from popcorn_tpu.infer.evaluator import Evaluator
@@ -54,7 +54,7 @@ def evaluate(checkpoints, data_root, region, train_level, fourseasons,
         target_regions=(region,), train_level=(train_level,),
         checkpoints=tuple(checkpoints), fourseasons=fourseasons,
         patch_batch=patch_batch, patchsize=patchsize, overlap=overlap,
-        spatial=spatial,
+        spatial=spatial, transport=transport,
     )
     if paths is None:
         paths = DataPaths(data_root)
@@ -153,6 +153,20 @@ def selftest():
         print("selftest OK: --quantize int8s surface produced "
               f"{len(ours_q)} finite metrics")
 
+        # --transport bf16 surface: float image modalities ride bfloat16
+        # over the data plane (data/feed.py::transport_cast). Lossy by
+        # construction; the census-R2 acceptance bound is pinned by
+        # tests/test_transport.py — require finite metrics here.
+        ours_t = evaluate(
+            members, None, "rwa", "coarse", fourseasons=False, paths=paths,
+            patchsize=96, overlap=16, transport="bf16",
+        )
+        assert all(np.isfinite(v) for v in ours_t.values()), ours_t
+        for k in sorted(k for k in ours_t if k.endswith("/r2")):
+            print(f"  [bf16 transport] {k}: {ours_t[k]:.4f}")
+        print("selftest OK: --transport bf16 surface produced "
+              f"{len(ours_t)} finite metrics")
+
 
 def main():
     from popcorn_tpu.utils import apply_platform_env
@@ -171,6 +185,10 @@ def main():
     ap.add_argument("--quantize", default=None, choices=("int8", "int8s"),
                     help="quantized member fold (parity bound is looser "
                     "by construction; see PERF_NOTES.md)")
+    ap.add_argument("--transport", default="exact", choices=("exact", "bf16"),
+                    help="data-plane dtype for float image modalities "
+                    "(bf16: half the upload bytes; lossy, bound pinned in "
+                    "tests/test_transport.py)")
     ap.add_argument("--expected", default=None,
                     help="JSON file {metric: expected_value}")
     ap.add_argument("--rtol", type=float, default=1e-3,
@@ -186,6 +204,7 @@ def main():
     ours = evaluate(
         a.checkpoints, a.data_root, a.region, a.train_level,
         a.fourseasons, a.patch_batch, spatial=a.spatial, quantize=a.quantize,
+        transport=a.transport,
     )
     for k in sorted(ours):
         print(f"  {k}: {ours[k]:.4f}")
