@@ -282,15 +282,19 @@ class DeviceWeaksupFeed(WeaksupFeed):
             # the visitation ORDER (season-major) and therefore batch
             # composition / per-batch augmentation draws.
             need_active = hp * wp * 4  # boundary
+            s2s1 = 0  # one season's swappable S2/S1 slice bytes
             for k, (dt, nchan) in planes.items():
                 per = nchan
-                if k == "S2":
+                if k in ("S2", "S1"):
                     per = nchan // len(seasons)
-                elif k == "S1":
-                    per = nchan // len(seasons)
+                    # only the seasonal slices swap; statics (VIIRS/
+                    # counts/segmentation) upload once and stay (ADVICE
+                    # r4 #5: counting them in the transient over-reserved
+                    # and pushed fitting regions to the host feed)
+                    s2s1 += hp * wp * per * np.dtype(dt).itemsize
                 need_active += hp * wp * per * np.dtype(dt).itemsize
-            # swap transient: old + new season resident during the switch
-            s2s1 = need_active - hp * wp * 4
+            # swap transient: old + new season slices resident during the
+            # switch (prefetch holds the next slice alongside the active)
             if need_active + s2s1 > budget:
                 raise Ineligible(
                     f"rotating resident slice needs {need_active / 1e9:.1f} GB "
@@ -604,15 +608,19 @@ class DeviceWeaksupFeed(WeaksupFeed):
         order = rng.permutation(len(self.index))
         if self.max_samples is not None:
             order = order[: self.max_samples]
-        fetched = _ordered_map(
-            lambda j: (j, self._fetch_item(j, epoch)), order,
-            self.num_workers, window=self.num_workers + max(2, self.prefetch),
-        )
+        # Two passes so host RAM stays bounded (ADVICE r4 #1): the first
+        # groups by season from METAS ONLY (get_admin_meta does no pixel
+        # IO and replays the same _item_rng stream _fetch_item will), the
+        # second fetches/heals each season group lazily through
+        # _ordered_map's bounded window — a NaN-heavy region no longer
+        # buffers every healed item of the epoch at once.
         groups: Dict[int, list] = {}
-        for j, item in fetched:
-            if item is None:
-                continue
-            groups.setdefault(int(item["season"]), []).append((int(j), item))
+        for j in order:
+            d, i = self.index[j]
+            meta = self.datasets[d].get_admin_meta(
+                i, _item_rng(self.seed, epoch, int(j))
+            )
+            groups.setdefault(int(meta["season"]), []).append(int(j))
 
         def _to_host_item(j):
             """Exact host fallback for a meta whose season slice is gone
@@ -638,7 +646,14 @@ class DeviceWeaksupFeed(WeaksupFeed):
             if nxt != s:
                 self._prefetch_season(nxt)
             season_keys = set()
-            for j, item in groups[s]:
+            fetched = _ordered_map(
+                lambda j: (j, self._fetch_item(j, epoch)), groups[s],
+                self.num_workers,
+                window=self.num_workers + max(2, self.prefetch),
+            )
+            for j, item in fetched:
+                if item is None:
+                    continue
                 h, w = self._item_hw(item)
                 key = (bucket_dim(h, self.ladder), bucket_dim(w, self.ladder))
                 season_keys.add(key)

@@ -766,26 +766,14 @@ def _run_device_feed_pass(
                     # time the main thread actually stood still for A(s);
                     # in threaded mode later seasons assemble off-thread
                     timings["feed_wait_s"] += t_asm
-            up_fut = up_pool.submit(_upload, mos_host)
-            del mos_host
-            th = None
-            if si + 1 < len(order):
-                if overlap:
-                    th = _threading.Thread(
-                        target=_assemble, args=(order[si + 1],)
-                    )
-                    th.start()
-                else:
-                    # 1-core: assemble the next season NOW — U(s) is in
-                    # flight on the worker, so the link and the CPU work
-                    # concurrently (and C(s-1) is still draining on device)
-                    _assemble(order[si + 1])
             season_idxs = [int(i) for i in by_season[s]]
             if nan_q:
                 # tile-level hybrid: only patches whose window overlaps a
                 # NaN tile need the reference's per-patch healing (host
                 # feed); the rest still crop from the resident mosaics —
-                # their windows provably hold no NaN
+                # their windows provably hold no NaN. Filter BEFORE the
+                # upload so a season with no clean patches never pays its
+                # mosaic transfer (ADVICE r4 #4).
                 from ..data.device_weaksup import _window_has_nan
 
                 clean = []
@@ -800,9 +788,23 @@ def _run_device_feed_pass(
                     else:
                         clean.append(idx)
                 season_idxs = clean
-            if not season_idxs:
-                up_fut.result()  # keep the pipeline's HBM budget bounded
-            else:
+            up_fut = (
+                up_pool.submit(_upload, mos_host) if season_idxs else None
+            )
+            del mos_host
+            th = None
+            if si + 1 < len(order):
+                if overlap:
+                    th = _threading.Thread(
+                        target=_assemble, args=(order[si + 1],)
+                    )
+                    th.start()
+                else:
+                    # 1-core: assemble the next season NOW — U(s) is in
+                    # flight on the worker, so the link and the CPU work
+                    # concurrently (and C(s-1) is still draining on device)
+                    _assemble(order[si + 1])
+            if up_fut is not None:
                 t0 = _time.perf_counter()
                 mos_dev, t_up = up_fut.result()
                 if timings is not None:

@@ -180,7 +180,7 @@ def nan_tile_any(arr: np.ndarray, tile: int = 32) -> np.ndarray:
     b, h, w = arr.shape
     th, tw = -(-h // tile), -(-w // tile)
     if arr.dtype != np.float32 or not arr.flags.c_contiguous:
-        if arr.dtype.kind != "f":
+        if not _is_float_dtype(arr.dtype):
             return np.zeros((th, tw), bool)  # integer data cannot hold NaN
         mask = np.isnan(arr).any(axis=0)
         pad = np.zeros((th * tile, tw * tile), bool)
@@ -196,20 +196,49 @@ def nan_tile_any(arr: np.ndarray, tile: int = 32) -> np.ndarray:
     return out.astype(bool)
 
 
+def _is_float_dtype(dt: np.dtype) -> bool:
+    """kind 'f' floats plus ml_dtypes extension floats (bfloat16 etc.
+    report kind 'V'; treating them as NaN-free would be a silent trap,
+    ADVICE r4 #2)."""
+    if dt.kind == "f":
+        return True
+    return "float" in getattr(dt, "name", "")
+
+
+def _covers_base(arr: np.ndarray, base: np.ndarray) -> bool:
+    """True when ``arr`` is a permutation/reshape view touching every
+    element of its C-contiguous ``base`` exactly once — size equality
+    alone does not prove it (stride-tricks can overlap, ADVICE r4 #2).
+    Checked by folding (stride, dim) pairs largest-stride-first: a
+    bijective view's strides must tile the buffer like a transpose of a
+    contiguous layout."""
+    if arr.size != base.size:
+        return False
+    pairs = sorted(
+        (s, d) for s, d in zip(arr.strides, arr.shape) if d != 1
+    )
+    expect = base.itemsize
+    for stride, dim in pairs:
+        if stride != expect:
+            return False
+        expect *= dim
+    return expect == base.size * base.itemsize
+
+
 def has_nan(arr: np.ndarray) -> bool:
     """Native streaming ``np.isnan(arr).any()`` for float32 arrays (no
     full-size bool temporary, early exit on the first NaN block); numpy
     fallback otherwise. NaN presence is order-independent, so a
     transpose/reshape view is scanned through its contiguous base when
-    the view covers every base element (the CHW->HWC views the dataset
-    hands around)."""
+    the view provably covers every base element exactly once (the
+    CHW->HWC views the dataset hands around)."""
     if arr.dtype == np.float32 and not arr.flags.c_contiguous:
         base = arr.base
         if (
             isinstance(base, np.ndarray)
             and base.dtype == np.float32
             and base.flags.c_contiguous
-            and base.size == arr.size
+            and _covers_base(arr, base)
         ):
             arr = base
     if arr.dtype == np.float32 and arr.flags.c_contiguous:
@@ -218,7 +247,11 @@ def has_nan(arr: np.ndarray) -> bool:
                 arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), arr.size
             )
         )
-    return arr.dtype.kind == "f" and bool(np.isnan(arr).any())
+    if not _is_float_dtype(arr.dtype):
+        return False
+    # ml_dtypes extension floats (bfloat16 etc., kind 'V') register
+    # np.isnan support, so the numpy path covers them too
+    return bool(np.isnan(arr).any())
 
 
 Window = Tuple[Tuple[int, int], Tuple[int, int]]  # ((row0, row1), (col0, col1))

@@ -279,13 +279,25 @@ def select_engine(cfg: ModelConfig, h: int, w: int, train: bool = False) -> str:
     if getattr(cfg, "quantize", None) or getattr(cfg, "pallas_stream", None):
         layout = "packed" if layout in ("auto", "wide") else layout
 
-    if layout == "wide" and choose_wide(h, w):
-        return "wide"
     if layout == "wide":
-        raise ValueError(
-            f"layout='wide' requires H%4==0 and W%32==0, got {(h, w)}"
-        )
+        if choose_wide(h, w):
+            return "wide"
+        # nn/wide.py's documented contract: shapes failing H%4/W%32 fall
+        # back to packed/plain instead of crashing mid-epoch on the first
+        # non-conforming bucket (ADVICE r4 #3). One-time warning per shape.
+        if (h, w) not in _WIDE_FALLBACK_WARNED:
+            _WIDE_FALLBACK_WARNED.add((h, w))
+            import warnings
+
+            warnings.warn(
+                f"layout='wide' requires H%4==0 and W%32==0; falling back "
+                f"to packed/plain for shape {(h, w)}",
+                stacklevel=2,
+            )
     return "packed" if choose_pack_factor(h, w) > 1 else "plain"
+
+
+_WIDE_FALLBACK_WARNED: set = set()
 
 
 def prepare_wide_streams(x: jnp.ndarray, cfg: ModelConfig):

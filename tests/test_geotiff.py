@@ -192,3 +192,33 @@ def test_nan_tile_integral_equivalence(rng):
     arr[1, 0, 0] = np.nan
     ref = _tile_integral(np.isnan(arr).any(axis=0))
     np.testing.assert_array_equal(_nan_tile_integral(arr), ref)
+
+
+def test_has_nan_bf16_and_overlapping_views(rng):
+    """ADVICE r4 #2: ml_dtypes bfloat16 (kind 'V') must be scanned, not
+    silently reported clean; stride-tricks views that do not cover their
+    base must not take the base shortcut."""
+    import ml_dtypes
+
+    from popcorn_tpu.io.geotiff import _covers_base, has_nan, nan_tile_any
+
+    a = rng.standard_normal((2, 9, 11)).astype(np.float32)
+    a[1, 3, 4] = np.nan
+    b = a.astype(ml_dtypes.bfloat16)
+    assert has_nan(b)
+    assert not has_nan(np.zeros((3, 3), ml_dtypes.bfloat16))
+    assert nan_tile_any(b, 4).any()
+    assert not nan_tile_any(np.zeros((8, 8), ml_dtypes.bfloat16), 4).any()
+
+    # overlapping stride-tricks view: size equals base size but elements
+    # repeat — the shortcut predicate must reject it
+    base = np.zeros(8, np.float32)
+    base[0] = np.nan
+    ov = np.lib.stride_tricks.as_strided(
+        base[1:], shape=(7,), strides=(4,)
+    )
+    assert not _covers_base(ov, base)
+    # transpose/reshape views that DO cover the base still qualify
+    full = rng.standard_normal((3, 5, 7)).astype(np.float32)
+    assert _covers_base(np.transpose(full, (2, 0, 1)), full)
+    assert _covers_base(full.reshape(5, 21), full)

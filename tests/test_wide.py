@@ -246,3 +246,23 @@ def test_wide_member_maps_matches_forward(rng):
     np.testing.assert_allclose(
         np.asarray(scale3), np.asarray(ref["scale"]), rtol=5e-4, atol=5e-5
     )
+
+
+def test_select_engine_wide_fallback_warns():
+    """ADVICE r4 #3: explicit layout='wide' on a W%32-failing bucket falls
+    back to packed/plain with a one-time warning instead of crashing
+    mid-epoch."""
+    import warnings
+
+    from popcorn_tpu.config import ModelConfig
+    from popcorn_tpu.nn import popcorn as pc
+
+    cfg = ModelConfig(layout="wide")
+    pc._WIDE_FALLBACK_WARNED.discard((100, 100))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng = pc.select_engine(cfg, 100, 100)
+    assert eng in ("packed", "plain")
+    assert any("falling back" in str(x.message) for x in w)
+    # eligible shapes still select wide
+    assert pc.select_engine(cfg, 64, 64) == "wide"
