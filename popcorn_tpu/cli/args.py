@@ -132,6 +132,13 @@ def train_parser() -> argparse.ArgumentParser:
                         "exceeds HBM fall back to SEASON ROTATION (one "
                         "season's slice resident at a time, uploaded once "
                         "per epoch), then to the host feed")
+    p.add_argument("--feed_gate", choices=("auto", "off", "host"),
+                   default="auto",
+                   help="rotation-vs-host cost gate (data/feed_select.py): "
+                        "'auto' probes the link and a couple of host item "
+                        "fetches and picks the faster epoch; 'off' keeps "
+                        "rotation whenever it fits; 'host' forces the host "
+                        "side of the fallback")
     p.add_argument("--transport", choices=("exact", "bf16"), default="exact",
                    help="data-plane dtype for float image modalities: "
                         "'bf16' ships/stores S1 (and float-sourced S2) as "
@@ -270,6 +277,7 @@ def train_config_from_args(a) -> TrainConfig:
         spatial_train=getattr(a, "spatial_train", False),
         grad_accum=_validated_grad_accum(a),
         transport=getattr(a, "transport", "exact"),
+        feed_gate=getattr(a, "feed_gate", "auto"),
     )
 
 

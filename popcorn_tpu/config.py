@@ -373,6 +373,8 @@ class TrainConfig:
     transport: str = "exact"  # data-plane dtype for float image modalities
     # ('exact' | 'bf16'): bf16 halves S1 upload bytes + HBM residency;
     # opt-in and lossy — see data/feed.py::transport_cast
+    feed_gate: str = "auto"  # measured rotation-vs-host cost gate for the
+    # season-rotating feed ('auto' | 'off' | 'host'); data/feed_select.py
 
 
 @dataclasses.dataclass

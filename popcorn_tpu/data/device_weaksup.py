@@ -163,6 +163,102 @@ def _window_has_nan(
     return bool(s)
 
 
+def resident_layout(datasets, ladder, transport: str) -> Dict:
+    """Shapes, dtypes and byte costs of the concatenated resident stack —
+    pure metadata (census tables + raster headers, NO pixel IO), shared by
+    :class:`DeviceWeaksupFeed` and the trainer's feed cost gate
+    (data/feed_select.py), which must estimate the rotating feed's
+    per-epoch upload bytes BEFORE paying the construction's full-stack
+    host read. Raises :class:`Ineligible` for configs the device feed
+    cannot serve (non-weaksup datasets, mismatched modality configs)."""
+    from .dataset import max_census_window
+
+    dss = list(datasets)
+    if any(d.mode != "weaksup" for d in dss):
+        raise Ineligible("weaksup datasets only")
+    d0 = dss[0]
+    for d in dss[1:]:
+        if (
+            (d.s2, d.s1, d.nir, d.viirs, d.fourseasons, d.asc_aug)
+            != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons, d0.asc_aug)
+            or (d._gb_counts is None) != (d0._gb_counts is None)
+            or (d._gb_seg is None) != (d0._gb_seg is None)
+        ):
+            raise Ineligible("training regions differ in modality config")
+
+    # Multi-region layout: regions concatenate ROW-WISE with no gap —
+    # a crop's beyond-(dx,dy) pixels are replaced by the validity mask
+    # regardless of what the slice read, so slices that run past a
+    # region's rows (into the next region) or columns (into the width
+    # pad of a narrower region) cannot contaminate the sample. The
+    # only hard requirement is that dynamic_slice never CLAMPS its
+    # start, so a single global tail/right pad of the largest bucket
+    # any census table can request suffices.
+    wins = [max_census_window(d) for d in dss]
+    ph = bucket_dim(max(x for x, _ in wins), ladder)
+    pw = bucket_dim(max(y for _, y in wins), ladder)
+    offs: List[int] = []
+    rows = 0
+    for d in dss:
+        offs.append(rows)
+        rows += d.cr_shape[0]
+    width = max(d.cr_shape[1] for d in dss)
+    hp, wp = rows + ph, width + pw
+
+    seasons = list(range(4)) if d0.fourseasons else [0]
+    # float image modalities resident dtype under the transport rule:
+    # bf16 halves their budget cost (and the upload), see feed.py
+    if transport == "bf16":
+        import ml_dtypes
+
+        fdt = np.dtype(ml_dtypes.bfloat16)
+    else:
+        fdt = np.dtype(np.float32)
+    planes: Dict[str, Tuple[np.dtype, int]] = {}
+    if d0.s2:
+        # costed as the float transport dtype unless every season of
+        # every region is raw-uint16-readable: the lossless-u16
+        # fallback conversion may still land on u16, but budgeting
+        # must never undercount
+        s2_u16 = all(
+            _is_raw_u16_source(d._source("S2", s, False))
+            for d in dss for s in seasons
+        )
+        planes["S2"] = (
+            np.uint16 if s2_u16 else fdt,
+            len(seasons) * (4 if d0.nir else 3),
+        )
+    n_orb = 2 if d0.asc_aug else 1  # -ascAug: both orbit stacks resident
+    if d0.s1:
+        planes["S1"] = (fdt, len(seasons) * n_orb * 2)
+    if d0.viirs:
+        planes["VIIRS"] = (fdt, 1)
+    if d0._gb_counts is not None:
+        planes["building_counts"] = (np.float32, 1)
+    if d0._gb_seg is not None:
+        planes["building_segmentation"] = (np.float32, 1)
+    need_full = hp * wp * 4  # boundary
+    need_active = hp * wp * 4
+    slice_bytes = 0  # one season's swappable S2/S1 slice bytes
+    for k, (dt, nchan) in planes.items():
+        need_full += hp * wp * nchan * np.dtype(dt).itemsize
+        per = nchan
+        if k in ("S2", "S1"):
+            per = nchan // len(seasons)
+            # only the seasonal slices swap; statics (VIIRS/counts/
+            # segmentation) upload once and stay (ADVICE r4 #5: counting
+            # them in the transient over-reserved and pushed fitting
+            # regions to the host feed)
+            slice_bytes += hp * wp * per * np.dtype(dt).itemsize
+        need_active += hp * wp * per * np.dtype(dt).itemsize
+    return {
+        "offs": offs, "rows": rows, "width": width, "hp": hp, "wp": wp,
+        "seasons": seasons, "n_orb": n_orb, "planes": planes,
+        "need_full": need_full, "need_active": need_active,
+        "slice_bytes": slice_bytes,
+    }
+
+
 class DeviceWeaksupFeed(WeaksupFeed):
     """WeaksupFeed whose pixel assembly runs on device from HBM-resident
     mosaics. Yields batches whose image keys are jax device arrays (the
@@ -175,11 +271,25 @@ class DeviceWeaksupFeed(WeaksupFeed):
         hbm_budget_bytes: float = 9e9,
         resident_from: "Optional[DeviceWeaksupFeed]" = None,
         rotate: bool = False,
+        mesh=None,
         **kw,
     ):
         super().__init__(datasets, **kw)
         import jax
 
+        # Data-parallel mode (VERDICT r4 #1): with a 1-D 'data' mesh the
+        # resident stacks replicate onto every device (same per-device HBM
+        # as single-chip) and the assembly jit emits the batch ALREADY
+        # sharded over 'data' — each device slices only its own samples
+        # from its local copy, zero collectives, so DP training keeps the
+        # device feed instead of falling back to the ~16x-slower host path.
+        if mesh is not None and "data" not in mesh.axis_names:
+            raise Ineligible("device feed needs a mesh with a 'data' axis")
+        if mesh is not None and jax.process_count() > 1:
+            raise Ineligible(
+                "device-resident feed supports single-process meshes only"
+            )
+        self._mesh = mesh
         self._rotating = False
         self._mos_host: Optional[Dict[str, np.ndarray]] = None
         self._active_season: Optional[int] = None
@@ -187,20 +297,22 @@ class DeviceWeaksupFeed(WeaksupFeed):
         self._up_pool = None
 
         dss = self.datasets
-        if any(d.mode != "weaksup" for d in dss):
-            raise Ineligible("weaksup datasets only")
-        d0 = dss[0]
-        for d in dss[1:]:
-            if (
-                (d.s2, d.s1, d.nir, d.viirs, d.fourseasons, d.asc_aug)
-                != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons, d0.asc_aug)
-                or (d._gb_counts is None) != (d0._gb_counts is None)
-                or (d._gb_seg is None) != (d0._gb_seg is None)
-            ):
-                raise Ineligible("training regions differ in modality config")
-        self._ds = d0
-
+        self._ds = dss[0] if dss else None
         if resident_from is not None:
+            if any(d.mode != "weaksup" for d in dss):
+                raise Ineligible("weaksup datasets only")
+            d0 = self._ds
+            for d in dss[1:]:
+                if (
+                    (d.s2, d.s1, d.nir, d.viirs, d.fourseasons, d.asc_aug)
+                    != (d0.s2, d0.s1, d0.nir, d0.viirs, d0.fourseasons,
+                        d0.asc_aug)
+                    or (d._gb_counts is None) != (d0._gb_counts is None)
+                    or (d._gb_seg is None) != (d0._gb_seg is None)
+                ):
+                    raise Ineligible(
+                        "training regions differ in modality config"
+                    )
             # Share another feed's HBM-resident stacks (the weak-validation
             # feed over the same region(s): same mosaic files, different
             # census split — one upload serves both; reference re-reads
@@ -208,67 +320,14 @@ class DeviceWeaksupFeed(WeaksupFeed):
             self._adopt_resident(resident_from)
             return
 
-        # Multi-region layout: regions concatenate ROW-WISE with no gap —
-        # a crop's beyond-(dx,dy) pixels are replaced by the validity mask
-        # regardless of what the slice read, so slices that run past a
-        # region's rows (into the next region) or columns (into the width
-        # pad of a narrower region) cannot contaminate the sample. The
-        # only hard requirement is that dynamic_slice never CLAMPS its
-        # start, so a single global tail/right pad of the largest bucket
-        # any census table can request suffices.
-        from .dataset import max_census_window
-
-        wins = [max_census_window(d) for d in dss]
-        ph = bucket_dim(max(x for x, _ in wins), self.ladder)
-        pw = bucket_dim(max(y for _, y in wins), self.ladder)
-        offs: List[int] = []
-        rows = 0
-        for d in dss:
-            offs.append(rows)
-            rows += d.cr_shape[0]
-        width = max(d.cr_shape[1] for d in dss)
-        hp, wp = rows + ph, width + pw
-
-        seasons = list(range(4)) if d0.fourseasons else [0]
-        need = 0
-        # float image modalities resident dtype under the transport rule:
-        # bf16 halves their budget cost (and the upload), see feed.py
-        if self.transport == "bf16":
-            import ml_dtypes
-
-            fdt = np.dtype(ml_dtypes.bfloat16)
-        else:
-            fdt = np.dtype(np.float32)
-        planes: Dict[str, Tuple[np.dtype, int]] = {}
-        if d0.s2:
-            # costed as the float transport dtype unless every season of
-            # every region is raw-uint16-readable: the lossless-u16
-            # fallback conversion may still land on u16, but budgeting
-            # must never undercount
-            s2_u16 = all(
-                _is_raw_u16_source(d._source("S2", s, False))
-                for d in dss for s in seasons
-            )
-            planes["S2"] = (
-                np.uint16 if s2_u16 else fdt,
-                len(seasons) * (4 if d0.nir else 3),
-            )
-        n_orb = 2 if d0.asc_aug else 1  # -ascAug: both orbit stacks resident
-        if d0.s1:
-            planes["S1"] = (fdt, len(seasons) * n_orb * 2)
-        if d0.viirs:
-            planes["VIIRS"] = (fdt, 1)
-        if d0._gb_counts is not None:
-            planes["building_counts"] = (np.float32, 1)
-        if d0._gb_seg is not None:
-            planes["building_segmentation"] = (np.float32, 1)
-        for k, (dt, nchan) in planes.items():
-            need += hp * wp * nchan * np.dtype(dt).itemsize
-        need += hp * wp * 4  # boundary
+        lay = resident_layout(dss, self.ladder, self.transport)
+        d0 = self._ds
+        offs, hp, wp, rows = lay["offs"], lay["hp"], lay["wp"], lay["rows"]
+        seasons, n_orb, planes = lay["seasons"], lay["n_orb"], lay["planes"]
         budget = _effective_budget(hbm_budget_bytes)
-        if need > budget and not rotate:
+        if lay["need_full"] > budget and not rotate:
             raise Ineligible(
-                f"resident stack needs {need / 1e9:.1f} GB > budget "
+                f"resident stack needs {lay['need_full'] / 1e9:.1f} GB > budget "
                 f"{budget / 1e9:.1f} GB"
             )
         if rotate:
@@ -281,23 +340,12 @@ class DeviceWeaksupFeed(WeaksupFeed):
             # per-item RNG draws, per-item bucket shapes); what changes is
             # the visitation ORDER (season-major) and therefore batch
             # composition / per-batch augmentation draws.
-            need_active = hp * wp * 4  # boundary
-            s2s1 = 0  # one season's swappable S2/S1 slice bytes
-            for k, (dt, nchan) in planes.items():
-                per = nchan
-                if k in ("S2", "S1"):
-                    per = nchan // len(seasons)
-                    # only the seasonal slices swap; statics (VIIRS/
-                    # counts/segmentation) upload once and stay (ADVICE
-                    # r4 #5: counting them in the transient over-reserved
-                    # and pushed fitting regions to the host feed)
-                    s2s1 += hp * wp * per * np.dtype(dt).itemsize
-                need_active += hp * wp * per * np.dtype(dt).itemsize
-            # swap transient: old + new season slices resident during the
-            # switch (prefetch holds the next slice alongside the active)
-            if need_active + s2s1 > budget:
+            # Swap transient: old + new season slices resident during the
+            # switch (prefetch holds the next slice alongside the active).
+            if lay["need_active"] + lay["slice_bytes"] > budget:
                 raise Ineligible(
-                    f"rotating resident slice needs {need_active / 1e9:.1f} GB "
+                    f"rotating resident slice needs "
+                    f"{lay['need_active'] / 1e9:.1f} GB "
                     f"(+swap) > budget {budget / 1e9:.1f} GB"
                 )
 
@@ -401,13 +449,13 @@ class DeviceWeaksupFeed(WeaksupFeed):
             self._mos_host = mos
             # statics (VIIRS/counts/seg) are season-invariant: resident once
             self._mos_static = {
-                k: jax.device_put(v)
+                k: self._dev_put(v)
                 for k, v in mos.items() if k not in self._seasonal
             }
             self._mos = None  # set per active season (_set_active_season)
         else:
-            self._mos = {k: jax.device_put(v) for k, v in mos.items()}
-        self._bnd = jax.device_put(bnd_p)
+            self._mos = {k: self._dev_put(v) for k, v in mos.items()}
+        self._bnd = self._dev_put(bnd_p)
         self._asm_cache: Dict[Tuple, object] = {}
         self._x_off = list(offs)
         self._s1_orb = n_orb
@@ -421,6 +469,18 @@ class DeviceWeaksupFeed(WeaksupFeed):
             "fourseasons": d0.fourseasons, "s1_orbits": n_orb,
             "keys": frozenset(mos), "transport": self.transport,
         }
+
+    def _dev_put(self, v):
+        """device_put replicated over the mesh (every device holds a full
+        mosaic copy so batch assembly never communicates); plain put when
+        single-device."""
+        import jax
+
+        if self._mesh is None:
+            return jax.device_put(v)
+        from ..dist.mesh import replicated
+
+        return jax.device_put(v, replicated(self._mesh))
 
     def _adopt_resident(self, donor: "DeviceWeaksupFeed") -> None:
         """Reuse ``donor``'s HBM-resident stacks for this feed's census
@@ -475,6 +535,7 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 raise Ineligible("donor resident padding too small for this census")
             x_off.append(by_region[key])
         self._seasonal = donor._seasonal
+        self._mesh = donor._mesh  # shared _asm_cache ⇒ same out_shardings
         self._mos = donor._mos
         self._bnd = donor._bnd
         # stacks are jit args, so sharing the cache reuses the donor's
@@ -543,10 +604,10 @@ class DeviceWeaksupFeed(WeaksupFeed):
 
         sl = {}
         if "S2" in self._mos_host:
-            sl["S2"] = jax.device_put(self._mos_host["S2"][s : s + 1])
+            sl["S2"] = self._dev_put(self._mos_host["S2"][s : s + 1])
         if "S1" in self._mos_host:
             no = self._s1_orb
-            sl["S1"] = jax.device_put(
+            sl["S1"] = self._dev_put(
                 self._mos_host["S1"][s * no : (s + 1) * no]
             )
         return jax.block_until_ready(sl)
@@ -748,12 +809,23 @@ class DeviceWeaksupFeed(WeaksupFeed):
                 )
             return a
 
-        @jax.jit
         def asm(mos, bnd, x0, y0, dx, dy, season, orb, vf, hf, rk):
             items = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
                 mos, bnd, x0, y0, dx, dy, season, orb
             )
             return {k: geo(v, vf, hf, rk) for k, v in items.items()}
+
+        if self._mesh is not None:
+            # emit the batch sharded over 'data' (mosaics are replicated,
+            # so each device assembles only its own samples — no
+            # collectives); odd tail batches come out replicated and the
+            # trainer's shard_batch reshards them
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P("data") if n % self._mesh.shape["data"] == 0 else P()
+            asm = jax.jit(asm, out_shardings=NamedSharding(self._mesh, spec))
+        else:
+            asm = jax.jit(asm)
 
         self._asm_cache[key] = asm
         return asm

@@ -136,7 +136,10 @@ def device_put_global(v, sharding):
     Contract: every process passes the same GLOBAL host value (the feeds
     are deterministic, so each host materializes the identical batch); each
     process then transfers only its addressable shards. Single-process this
-    is a plain device_put."""
+    is a plain device_put. Already-committed ``jax.Array``s reshard
+    device-to-device (no host round-trip) in either case."""
+    if isinstance(v, jax.Array) and v.committed:
+        return jax.device_put(v, sharding)
     if jax.process_count() == 1:
         return jax.device_put(v, sharding)
     arr = np.asarray(v)
@@ -176,7 +179,11 @@ def replicated(mesh: Optional[Mesh]):
 
 
 def shard_batch(batch: Dict, mesh: Optional[Mesh], *, batch_keys: Sequence[str]) -> Dict:
-    """device_put a host batch: listed keys split on axis 0, rest replicated."""
+    """device_put a host batch: listed keys split on axis 0, rest replicated.
+
+    Arrays already committed with the target sharding pass through — the
+    device-resident training feed (data/device_weaksup.py) assembles its
+    batches mesh-sharded, so the trainer's put is a no-op for them."""
     if mesh is None:
         return batch
     bs = batch_sharding(mesh)
@@ -186,7 +193,11 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], *, batch_keys: Sequence[str])
         if not isinstance(v, (np.ndarray, jax.Array)):
             out[k] = v
             continue
-        out[k] = device_put_global(v, bs if k in batch_keys else rep)
+        want = bs if k in batch_keys else rep
+        if isinstance(v, jax.Array) and v.sharding == want:
+            out[k] = v
+            continue
+        out[k] = device_put_global(v, want)
     return out
 
 

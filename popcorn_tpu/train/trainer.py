@@ -126,76 +126,15 @@ class Trainer:
             num_workers=tcfg.num_workers,
             transport=getattr(tcfg, "transport", "exact"),
         )
-        self.feed = None
-        dev_feed = getattr(tcfg, "device_feed", "auto")
-        single_proc = (
-            tcfg.data_parallel == 1
-            and not tcfg.multihost
-            # spatial_train commits batches row-sharded over the mesh; the
-            # device feed assembles them on ONE device — incompatible
-            and not getattr(tcfg, "spatial_train", False)
-        )
-        if dev_feed == "on" and not single_proc:
-            raise Ineligible(
-                "--device_feed on requires a single-process, non-data-"
-                "parallel run (batch assembly happens on one device)"
-            )
-        if dev_feed != "off" and single_proc:
-            # HBM-resident training data plane: mosaics upload once, batch
-            # assembly (crop + mask + geometric augs) runs on device —
-            # steady-state training moves zero image bytes host->device
-            # (data/device_weaksup.py; batch parity pinned in tests)
-            try:
-                self.feed = DeviceWeaksupFeed(self.train_datasets, **feed_kw)
-                print("Training feed: device-resident mosaics (HBM)")
-            except Ineligible as e:
-                if dev_feed == "on":
-                    raise
-                # middle path: regions whose full multi-season stack
-                # exceeds HBM rotate one season's slice at a time
-                # (device_weaksup.py season rotation, VERDICT r3 #4)
-                try:
-                    self.feed = DeviceWeaksupFeed(
-                        self.train_datasets, rotate=True, **feed_kw
-                    )
-                    print(
-                        "Training feed: season-rotating device residency "
-                        f"(full stack ineligible: {e})"
-                    )
-                except Ineligible as e2:
-                    print(
-                        f"Device training feed unavailable ({e}; rotation: "
-                        f"{e2}); using host feed"
-                    )
-        if self.feed is None:
-            self.feed = WeaksupFeed(self.train_datasets, **feed_kw)
-
-        # model ---------------------------------------------------------------
-        key = jax.random.PRNGKey(tcfg.seed)
-        if mcfg.pretrained and find_dda_checkpoint():
-            self.params, self.consts = load_popcorn_from_dda(mcfg, head_key=key)
-        else:
-            self.params, self.consts = init_popcorn(key, mcfg)
-
-        n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(self.params))
-        print(
-            f"Model POPCORN; #Effective Params trainable: {n_params}"
-        )  # reference run_train.py:67-69
-
-        self.stats = NormStats()
-        self.optimizer = make_optimizer(tcfg)
-        self.opt_state = self.optimizer.init(self.params)
-        self.step_fn = make_train_step(mcfg, tcfg, self.consts, self.stats, self.optimizer)
-        self.eval_popcount = make_eval_popcount(mcfg, self.consts, self.stats)
-
         # data-parallel mesh: batch axis sharded over 'data', params/opt
         # replicated; XLA inserts the gradient psum (the capability the
-        # reference lacks, SURVEY.md par.2.2)
+        # reference lacks, SURVEY.md par.2.2). Created BEFORE the feed so
+        # the device-resident feed can assemble mesh-sharded batches.
         self.mesh = None
         if tcfg.multihost or tcfg.data_parallel > 1 or getattr(
             tcfg, "spatial_train", False
         ):
-            from ..dist.mesh import make_mesh, make_multihost_mesh, replicated
+            from ..dist.mesh import make_mesh, make_multihost_mesh
 
             if tcfg.multihost:
                 # multi-host pod: DP across hosts over DCN, DP within each
@@ -227,6 +166,71 @@ class Trainer:
                     f"weak_batch_size ({tcfg.weak_batch_size}) must be divisible "
                     f"by the data mesh size ({n_mesh})"
                 )
+
+        self.feed = None
+        dev_feed = getattr(tcfg, "device_feed", "auto")
+        eligible = (
+            # cross-process residency is unproven; host feed under multihost
+            not tcfg.multihost
+            # spatial_train commits batches row-sharded over the mesh; the
+            # device feed assembles them batch-sharded — incompatible
+            and not getattr(tcfg, "spatial_train", False)
+        )
+        if dev_feed == "on" and not eligible:
+            raise Ineligible(
+                "--device_feed on requires a single-process run without "
+                "--spatial_train (multihost/spatial batches are not "
+                "assembled on-device)"
+            )
+        if dev_feed != "off" and eligible:
+            # HBM-resident training data plane: mosaics upload once, batch
+            # assembly (crop + mask + geometric augs) runs on device —
+            # steady-state training moves zero image bytes host->device
+            # (data/device_weaksup.py; batch parity pinned in tests).
+            # Under --data_parallel the stacks replicate per device and
+            # batches assemble mesh-sharded (VERDICT r4 #1).
+            try:
+                self.feed = DeviceWeaksupFeed(
+                    self.train_datasets, mesh=self.mesh, **feed_kw
+                )
+                print("Training feed: device-resident mosaics (HBM)")
+            except Ineligible as e:
+                if dev_feed == "on":
+                    raise
+                # middle path: regions whose full multi-season stack
+                # exceeds HBM rotate one season's slice at a time
+                # (device_weaksup.py season rotation, VERDICT r3 #4)
+                try:
+                    self.feed = self._maybe_rotating_feed(feed_kw, e)
+                except Ineligible as e2:
+                    print(
+                        f"Device training feed unavailable ({e}; rotation: "
+                        f"{e2}); using host feed"
+                    )
+        if self.feed is None:
+            self.feed = WeaksupFeed(self.train_datasets, **feed_kw)
+
+        # model ---------------------------------------------------------------
+        key = jax.random.PRNGKey(tcfg.seed)
+        if mcfg.pretrained and find_dda_checkpoint():
+            self.params, self.consts = load_popcorn_from_dda(mcfg, head_key=key)
+        else:
+            self.params, self.consts = init_popcorn(key, mcfg)
+
+        n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(self.params))
+        print(
+            f"Model POPCORN; #Effective Params trainable: {n_params}"
+        )  # reference run_train.py:67-69
+
+        self.stats = NormStats()
+        self.optimizer = make_optimizer(tcfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_fn = make_train_step(mcfg, tcfg, self.consts, self.stats, self.optimizer)
+        self.eval_popcount = make_eval_popcount(mcfg, self.consts, self.stats)
+
+        if self.mesh is not None:
+            from ..dist.mesh import replicated
+
             rep = replicated(self.mesh)
             from ..dist.mesh import device_put_global
 
@@ -245,6 +249,54 @@ class Trainer:
 
         if resume is not None:
             self.resume(resume)
+
+    def _maybe_rotating_feed(self, feed_kw, reason) -> DeviceWeaksupFeed:
+        """Season-rotating device residency (device_weaksup.py), raised
+        when the rotating slice does not fit — or when the MEASURED cost
+        gate says the host feed would finish the epoch faster (VERDICT r4
+        #2: rotation's per-epoch slice re-uploads are a fixed cost that
+        only amortizes past a few hundred samples/epoch; BENCH_r04
+        measured the ungated choice 2.7x slower at bench scale)."""
+        from ..data.feed_select import (
+            gate_mode,
+            gate_report,
+            gather_gate_inputs,
+            prefer_rotation,
+        )
+
+        mode = getattr(self.tcfg, "feed_gate", "auto")
+        env = gate_mode()
+        if env != "auto":
+            mode = env  # env var wins (tests / operators)
+        if mode == "host":
+            raise Ineligible("feed gate forced host (feed_gate=host)")
+        if mode != "off":
+            from ..data.device_weaksup import resident_layout
+
+            lay = resident_layout(
+                self.train_datasets, feed_kw["bucket_ladder"],
+                feed_kw.get("transport", "exact"),
+            )
+            probe = WeaksupFeed(self.train_datasets, **feed_kw)
+            n = len(probe.index)
+            if feed_kw.get("max_samples") is not None:
+                n = min(n, feed_kw["max_samples"])
+            g = gather_gate_inputs(
+                probe,
+                n_samples=n,
+                swap_bytes=lay["slice_bytes"] * len(lay["seasons"]),
+            )
+            if not prefer_rotation(g):
+                raise Ineligible("cost gate picked host feed: " + gate_report(g))
+            print(f"Feed cost gate: {gate_report(g)} -> rotation")
+        feed = DeviceWeaksupFeed(
+            self.train_datasets, rotate=True, mesh=self.mesh, **feed_kw
+        )
+        print(
+            "Training feed: season-rotating device residency "
+            f"(full stack ineligible: {reason})"
+        )
+        return feed
 
     # -- persistence ---------------------------------------------------------
 

@@ -226,20 +226,78 @@ def test_device_feed_parity_in_memory_sources(synth):
     ds.close()
 
 
-def test_trainer_device_feed_on_rejects_mesh(synth, tmp_path):
-    """--device_feed on with a data-parallel/multihost config must raise,
-    not silently fall back to the host feed."""
+def test_trainer_device_feed_on_rejects_spatial(synth, tmp_path):
+    """--device_feed on with --spatial_train must raise (rows shard, not
+    the batch), not silently fall back to the host feed."""
     from popcorn_tpu.config import ModelConfig, TrainConfig
     from popcorn_tpu.train.trainer import Trainer
 
     mcfg = ModelConfig(pretrained=False)
     tcfg = TrainConfig(
         target_regions=("rwa",), target_regions_train=("rwa",),
-        train_level=("coarse",), data_parallel=2, device_feed="on",
+        train_level=("coarse",), spatial_train=True, device_feed="on",
         save_dir=str(tmp_path),
     )
-    with pytest.raises(Ineligible, match="single-process"):
+    with pytest.raises(Ineligible, match="spatial"):
         Trainer(synth, mcfg, tcfg, inference_patch=128, inference_overlap=16)
+
+
+@pytest.mark.parametrize("augment", [False, True])
+def test_device_feed_mesh_batch_parity(synth, augment):
+    """VERDICT r4 #1: under a data-parallel mesh the device feed yields
+    the SAME batches as the host feed (bit parity preserved), with image
+    keys committed SHARDED over 'data' — so a DP run keeps the HBM feed
+    instead of dropping to the host path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from popcorn_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(2)
+    ds = _ds(synth)
+    kw = dict(batch_size=2, seed=1600, prefetch=0, augment=augment)
+    host = WeaksupFeed([ds], **kw)
+    dev = DeviceWeaksupFeed([ds], mesh=mesh, **kw)
+    hb, db = list(host.epoch(0)), list(dev.epoch(0))
+    _assert_batches_equal(hb, db)
+    want = NamedSharding(mesh, P("data"))
+    for b in db:
+        for k in ("S2", "S1", "admin_mask"):
+            assert isinstance(b[k], jax.Array), k
+            assert b[k].sharding == want, (k, b[k].sharding)
+    ds.close()
+
+
+def test_trainer_dp_uses_device_feed(synth, tmp_path):
+    """A --data_parallel trainer now builds the mesh-sharded device feed
+    (previously hard-restricted to single-device) and trains a step whose
+    parameters match the host-feed DP trainer's bit-for-bit."""
+    from popcorn_tpu.config import ModelConfig, TrainConfig
+    from popcorn_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(pretrained=False, sentinel_buildings=True)
+    base = dict(
+        target_regions=(), target_regions_train=("rwa",),
+        train_level=("coarse",), data_parallel=2, weak_batch_size=2,
+        num_epochs=1, weak_validation=False, seed=1600,
+        save_dir=str(tmp_path),
+    )
+    tr_dev = Trainer(
+        synth, mcfg, TrainConfig(device_feed="on", **base),
+        inference_patch=128, inference_overlap=16,
+    )
+    assert isinstance(tr_dev.feed, DeviceWeaksupFeed)
+    assert tr_dev.feed._mesh is tr_dev.mesh
+    tr_host = Trainer(
+        synth, mcfg, TrainConfig(device_feed="off", **base),
+        inference_patch=128, inference_overlap=16,
+    )
+    assert not isinstance(tr_host.feed, DeviceWeaksupFeed)
+    tr_dev.train_epoch()
+    tr_host.train_epoch()
+    for a, b in zip(
+        jax.tree.leaves(tr_dev.params), jax.tree.leaves(tr_host.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_multi_region_parity(synth, tmp_path_factory):
