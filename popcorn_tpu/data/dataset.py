@@ -159,6 +159,12 @@ class _RasterSource:
     """A merged mosaic GeoTIFF, or a MosaicIndex over raw tiles when the
     merged file is missing (the reference's VRT fallback).
 
+    When a pre-decoded ``.npy`` sidecar exists next to the merged file
+    (io/raster_cache.py, built by tools/build_raster_cache.py), windowed
+    reads become mmap page-cache slices with ZERO tile inflate — the hot
+    data plane's dominant host cost on weak hosts (VERDICT r4 #3; the
+    reference's "use SSDs" warning, README.md:178, is the analogue).
+
     in_memory=True decodes the whole raster once and serves windows from
     RAM (the reference's --in_memory eval flag, arguments/eval.py:26) —
     windowed reads become pure numpy slices, which matters when training
@@ -171,28 +177,63 @@ class _RasterSource:
         cache: Optional[str],
         in_memory: bool = False,
     ):
+        from ..io.raster_cache import open_cache
+
+        self._cache: Optional[np.memmap] = None
         if os.path.exists(merged_path):
             self._g = GeoTIFF(merged_path)
             self.shape = self._g.shape
+            self.dtype = self._g.dtype
+            self._cache = open_cache(merged_path)
         elif tile_dir and os.path.isdir(tile_dir):
             self._g = MosaicIndex.from_dir(tile_dir, cache=cache)
             self.shape = self._g.shape
+            self.dtype = np.dtype(np.float32)
         else:
             raise FileNotFoundError(
                 f"neither merged mosaic {merged_path} nor raw tiles {tile_dir} exist"
             )
         self._mem: Optional[np.ndarray] = None
         if in_memory:
-            self._mem = self._g.read()
+            # the sidecar, when present, skips the decode here too
+            self._mem = (
+                self._cache[:].astype(np.float32)
+                if self._cache is not None
+                else self._g.read()
+            )
+
+    @staticmethod
+    def _band_idx(bands):
+        if isinstance(bands, int):
+            bands = [bands]
+        return [b - 1 for b in bands]
 
     def read(self, bands, window) -> np.ndarray:
+        (r0, r1), (c0, c1) = window
         if self._mem is not None:
-            if isinstance(bands, int):
-                bands = [bands]
-            (r0, r1), (c0, c1) = window
-            idx = [b - 1 for b in bands]
-            return self._mem[idx, r0:r1, c0:c1]
+            return self._mem[self._band_idx(bands), r0:r1, c0:c1]
+        if self._cache is not None:
+            # fancy band index copies the window out of the mmap; the
+            # astype matches the native reader's plain u16->f32 cast
+            # (byte-equality pinned in tests/test_raster_cache.py)
+            sl = self._cache[self._band_idx(bands), r0:r1, c0:c1]
+            return sl.astype(np.float32, copy=False)
         return self._g.read(bands, window=window)
+
+    def read_raw(self, bands, window) -> Optional[np.ndarray]:
+        """Windowed read in the file's NATIVE dtype (no float conversion;
+        the uint16 transport fast path), or None when this source cannot
+        serve one (in-memory float copy, raw-tile mosaic fallback)."""
+        if self._mem is not None:
+            return None
+        if self._cache is not None:
+            (r0, r1), (c0, c1) = window
+            return np.ascontiguousarray(
+                self._cache[self._band_idx(bands), r0:r1, c0:c1]
+            )
+        if isinstance(self._g, GeoTIFF):
+            return self._g.read(bands, window=window, raw=True)
+        return None
 
 
 class PopulationDataset:

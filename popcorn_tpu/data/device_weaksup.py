@@ -57,16 +57,17 @@ class Ineligible(Exception):
 
 
 def _is_raw_u16_source(src) -> bool:
-    """True when a _RasterSource can serve raw uint16 windows (native
-    uint16 GeoTIFF, not in-memory) — mirrors infer/device_feed.py::
-    _read_raw_u16's eligibility without reading any pixels."""
+    """True when a _RasterSource can serve raw uint16 windows (uint16
+    GeoTIFF or its pre-decoded sidecar, not in-memory) — mirrors
+    infer/device_feed.py::_read_raw_u16's eligibility without reading
+    any pixels."""
     from ..io.geotiff import GeoTIFF
 
     g = getattr(src, "_g", None)
     return (
         getattr(src, "_mem", None) is None
-        and isinstance(g, GeoTIFF)
-        and g.dtype == np.uint16
+        and np.dtype(getattr(src, "dtype", np.float32)) == np.uint16
+        and (getattr(src, "_cache", None) is not None or isinstance(g, GeoTIFF))
     )
 
 

@@ -36,20 +36,14 @@ from ..data.dataset import PopulationDataset
 
 
 def _read_raw_u16(src, bands, window) -> Optional[np.ndarray]:
-    """Raw uint16 window read from a _RasterSource when the underlying file
-    is a native-read uint16 GeoTIFF (io/native/geotiff.cpp
-    gt_read_window_raw); None when unsupported (in-memory cache, mosaic
-    fallback, other dtypes) — caller uses the float path."""
-    from ..io.geotiff import GeoTIFF
-
-    g = getattr(src, "_g", None)
-    if (
-        getattr(src, "_mem", None) is None
-        and isinstance(g, GeoTIFF)
-        and g.dtype == np.uint16
-    ):
-        return g.read(bands, window=window, raw=True)
-    return None
+    """Raw uint16 window read from a _RasterSource when the stored dtype
+    is uint16 — served from the pre-decoded mmap sidecar when one exists
+    (io/raster_cache.py), else a native gt_read_window_raw decode; None
+    when unsupported (in-memory float copy, mosaic fallback, other
+    dtypes) — caller uses the float path."""
+    if np.dtype(getattr(src, "dtype", np.float32)) != np.uint16:
+        return None
+    return src.read_raw(bands, window)
 
 
 def season_arrays(
