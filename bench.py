@@ -467,6 +467,21 @@ def train_e2e_bench(params0, consts, mcfg, size, max_samples, link, deadline):
         except Exception as e:  # Ineligible or OOM: report, keep host number
             log(f"device training feed unavailable in bench: {e}")
             out["device_feed"] = {"error": str(e)[:200]}
+        # the same feed through the DATA-PARALLEL mesh path (VERDICT r4
+        # #1): stacks replicate over the mesh and batches come out
+        # sharded over 'data'. One chip here, so the mesh is 1-wide —
+        # this measures the mesh machinery's overhead, not scaling
+        # (scaling is dryrun-proven on the virtual 8-mesh).
+        try:
+            from popcorn_tpu.dist.mesh import make_mesh
+
+            out["device_feed_dp"] = measure(
+                DeviceWeaksupFeed([ds], mesh=make_mesh(), **feed_kw),
+                "device feed dp-mesh",
+            )
+        except Exception as e:
+            log(f"dp-mesh device feed unavailable in bench: {e}")
+            out["device_feed_dp"] = {"error": str(e)[:200]}
         # middle path for over-HBM regions (VERDICT r3 #4): rotation is
         # forced here even though the bench region fits, so the number
         # measures the rotating data plane itself (4 season swaps/epoch)
@@ -632,28 +647,51 @@ def main():
         f"{330 * 4 / pps / 60:.2f} min single-chip"
     )
 
-    # ---- opt-in static-int8 ensemble (--quantize int8s) ---------------------
+    # ---- opt-in quantized ensembles (--quantize int8s / w4a8) ---------------
+    # int8s is the documented fast path; its acceptance delta (map corr vs
+    # the bf16 fold on this patch) ships next to the throughput so the
+    # headline quantized number carries its accuracy cost. w4a8 (int4-grid
+    # weights in int8 carriers) is measured to RECORD the trade: v5e's MXU
+    # int mode is int8 x int8, so it cannot be faster here (VERDICT r4 #4).
     import dataclasses
 
-    qs_pps = None
-    try:
-        mcfg_qs = dataclasses.replace(mcfg, quantize="int8s")
-        fwd_qs = make_patch_forward(
-            mcfg_qs, consts, stats, n_members, packed_output=True
+    bf16_dense = np.asarray(fwd(stacked, dev_batch)["dense_sum"], np.float64)
+
+    def _quant_run(qmode):
+        mcfg_q = dataclasses.replace(mcfg, quantize=qmode)
+        fwd_q = make_patch_forward(
+            mcfg_q, consts, stats, n_members, packed_output=True
         )
-        res = fwd_qs(stacked, dev_batch)
-        jax.block_until_ready(res)
+        r = fwd_q(stacked, dev_batch)
+        jax.block_until_ready(r)
+        q_dense = np.asarray(r["dense_sum"], np.float64)
+        corr = float(np.corrcoef(q_dense.ravel(), bf16_dense.ravel())[0, 1])
         for _ in range(2):
-            res = fwd_qs(stacked, dev_batch)
-        jax.block_until_ready(res)
+            r = fwd_q(stacked, dev_batch)
+        jax.block_until_ready(r)
         t0 = time.time()
         for _ in range(iters):
-            res = fwd_qs(stacked, dev_batch)
-        jax.block_until_ready(res)
-        qs_pps = iters * batch / (time.time() - t0)
-        log(f"int8s (static-quantized) ensemble: {qs_pps:.3f} patches/s")
+            r = fwd_q(stacked, dev_batch)
+        jax.block_until_ready(r)
+        q_pps = iters * batch / (time.time() - t0)
+        log(
+            f"{qmode} ensemble: {q_pps:.3f} patches/s "
+            f"({q_pps / pps:.3f}x bf16), map corr {corr:.5f} "
+            f"(census-R2 acceptance bound 0.02 pinned in "
+            f"tests/test_quantize_acceptance.py)"
+        )
+        return q_pps, corr
+
+    qs_pps = qs_corr = None
+    w4_pps = w4_corr = None
+    try:
+        qs_pps, qs_corr = _quant_run("int8s")
     except Exception as e:
         log(f"int8s bench failed: {type(e).__name__}: {e}")
+    try:
+        w4_pps, w4_corr = _quant_run("w4a8")
+    except Exception as e:
+        log(f"w4a8 bench failed: {type(e).__name__}: {e}")
 
     # ---- train-step benchmark (fwd+bwd at a training bucket shape) ----------
     from popcorn_tpu.config import TrainConfig
@@ -763,8 +801,16 @@ def main():
         # lift_blowup = executed/useful of the active engine's layout lift
         result["flops"] = flops_report
     if qs_pps:
-        # opt-in --quantize int8s (corr 0.9997 vs bf16; PERF_NOTES round 3)
+        # the documented fast path (--quantize int8s) with its acceptance
+        # delta: map corr vs the bf16 fold on this patch; census-R2 bound
+        # 0.02 pinned in tests/test_quantize_acceptance.py
         result["int8s_patches_per_sec"] = round(qs_pps, 4)
+        result["int8s_map_corr_vs_bf16"] = round(qs_corr, 6)
+    if w4_pps:
+        # w4a8 measured for the record (expected loser on v5e: same MXU
+        # int8 mode, coarser weight grid — PERF_NOTES round 5)
+        result["w4a8_patches_per_sec"] = round(w4_pps, 4)
+        result["w4a8_map_corr_vs_bf16"] = round(w4_corr, 6)
 
     if os.environ.get("POPCORN_BENCH_FULL", "1") != "0":
         # free the micro-bench's device buffers (stitch accumulators,

@@ -132,6 +132,17 @@ def train_parser() -> argparse.ArgumentParser:
                         "exceeds HBM fall back to SEASON ROTATION (one "
                         "season's slice resident at a time, uploaded once "
                         "per epoch), then to the host feed")
+    p.add_argument("--quantize_eval", choices=["int8", "int8s", "w4a8"],
+                   default=None,
+                   help="run the IN-TRAINING evaluation paths (mid-epoch "
+                        "test_target map stitching and weak validation) "
+                        "through quantized inference; the train steps "
+                        "themselves always stay full-precision (the "
+                        "quantize gates are inference-only). Explicit "
+                        "opt-in: quantized validation steers best-model "
+                        "selection, bounded by the same census-R2 "
+                        "acceptance test as eval --quantize "
+                        "(tests/test_quantize_acceptance.py)")
     p.add_argument("--feed_gate", choices=("auto", "off", "host"),
                    default="auto",
                    help="rotation-vs-host cost gate (data/feed_select.py): "
@@ -189,15 +200,19 @@ def eval_parser() -> argparse.ArgumentParser:
                         "true model output in the border ring the stitched "
                         "path zeroes). Needs the region to fit sharded in "
                         "HBM; pods or single chips with small regions")
-    # eval-only: int8 must not leak into the training CLI, where it would
-    # silently run mid-training validation/best-model selection through
-    # quantized inference while the train steps stay f32
-    p.add_argument("--quantize", choices=["int8", "int8s"], default=None,
+    # eval CLI flag; the training CLI exposes the same modes as the
+    # EXPLICIT --quantize_eval (it affects mid-training validation and
+    # best-model selection, so it must never be implied)
+    p.add_argument("--quantize", choices=["int8", "int8s", "w4a8"],
+                   default=None,
                    help="int8 W8A8 inference through the fused Pallas "
                         "kernels (2x MXU peak on v5e). 'int8' = dynamic "
                         "per-slab activation scales; 'int8s' = static "
-                        "calibrated scales with int8 block I/O (faster, "
-                        "slightly coarser; single-chip path)")
+                        "calibrated scales with int8 block I/O — the "
+                        "recommended fast path (+14%% end-to-end, census "
+                        "R2 within the pinned acceptance bound); 'w4a8' "
+                        "= int8s with int4-grid weights (measured loser "
+                        "on v5e, kept for the record — PERF_NOTES)")
     p.add_argument("--transport", choices=("exact", "bf16"), default="exact",
                    help="data-plane dtype for float image modalities: "
                         "'bf16' ships/stores S1 (and float-sourced S2) as "
@@ -229,7 +244,9 @@ def model_config_from_args(a) -> ModelConfig:
         feature_extractor=a.feature_extractor,
         compute_dtype=a.compute_dtype,
         fused_head=fused,
-        quantize=getattr(a, "quantize", None),
+        quantize=getattr(a, "quantize", None)
+        or getattr(a, "quantize_eval", None),
+        pallas_stream=getattr(a, "pallas_stream", None),
         remat_unet=getattr(a, "remat_unet", False),
     )
 

@@ -290,7 +290,10 @@ class ModelConfig:
     # "int8s": STATIC calibrated activation scales + int8 block I/O
     # end-to-end through each UNet stream — one fused requant VPU pass
     # per layer instead of the dynamic path's three, half the inter-block
-    # DMA bytes (nn/pallas_conv.py::_double_conv_kernel_qs)
+    # DMA bytes (nn/pallas_conv.py::_double_conv_kernel_qs).
+    # "w4a8": int8s with int4-grid weights in int8 carriers — measured
+    # loser on v5e (same MXU mode, coarser weights; PERF_NOTES round 5),
+    # kept for the measurement and for weight-memory-bound models
     pallas_stream: Optional[bool] = None  # fused VMEM UNet-block kernels
     # (nn/pallas_conv.py: whole DoubleConv/Up blocks as single Pallas
     # kernels, double-buffered DMA); None = off — measured at parity with

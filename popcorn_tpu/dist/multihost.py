@@ -85,6 +85,59 @@ def run_demo_step(mesh) -> Tuple[float, float]:
     return loss, pop_sum
 
 
+def run_demo_eval(local_devices: int) -> float:
+    """2-D (data x ensemble) Bag-of-POPCORN patch fold on the multihost
+    mesh (VERDICT r4 #6): members shard over 'ensemble', patches over a
+    'data' axis that SPANS the processes. Returns the global
+    dense_sum total — identical on every worker when the cross-process
+    fold is correct (asserted by dryrun_multihost). Mirrors the
+    single-process 2-D section of __graft_entry__.dryrun_multichip;
+    reference behavior being distributed: run_eval.py:102-135."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import ModelConfig
+    from ..data.normalize import NormStats
+    from ..infer.sliding import (
+        make_patch_forward,
+        pad_stacked_members,
+        stack_ensemble,
+    )
+    from ..nn.init import init_popcorn
+    from .mesh import device_put_global, fetch_to_host, make_multihost_mesh
+
+    mcfg = ModelConfig(pretrained=False, fused_head=False)
+    params, consts = init_popcorn(jax.random.PRNGKey(0), mcfg)
+    ne = 2
+    nd = max(1, local_devices // ne)
+    mesh2 = make_multihost_mesh(n_data_per_host=nd, n_ensemble=ne)
+    members = [
+        jax.tree.map(lambda a, s=s: a * (1.0 + 0.01 * s), params)
+        for s in range(3)
+    ]
+    stacked = pad_stacked_members(stack_ensemble(members), 3, ne)
+    rng = np.random.default_rng(0)
+    pb, ph, pw = mesh2.shape["data"], 64, 64
+    with mesh2:
+        bs = NamedSharding(mesh2, P("data"))
+        es = NamedSharding(mesh2, P("ensemble"))
+        batch = {
+            "S2": device_put_global(
+                rng.uniform(0, 4000, (pb, ph, pw, 4)).astype(np.float32), bs
+            ),
+            "S1": device_put_global(
+                rng.uniform(-25, 0, (pb, ph, pw, 2)).astype(np.float32), bs
+            ),
+            "mask": device_put_global(np.ones((pb, ph, pw), np.float32), bs),
+            "valid": device_put_global(np.ones((pb,), bool), bs),
+        }
+        stacked = jax.tree.map(lambda a: device_put_global(a, es), stacked)
+        fwd = make_patch_forward(mcfg, consts, NormStats(), 3, mesh=mesh2)
+        maps = fwd(stacked, batch)
+        dense = fetch_to_host(maps["dense_sum"])
+    return float(np.asarray(dense).sum())
+
+
 def worker_main(argv=None) -> None:
     import argparse
 
@@ -120,8 +173,10 @@ def worker_main(argv=None) -> None:
     mesh = make_multihost_mesh(n_data_per_host=a.local_devices)
     assert mesh.shape["data"] == a.num_processes * a.local_devices
     loss, pop_sum = run_demo_step(mesh)
+    ens_sum = run_demo_eval(a.local_devices)
     print(
-        f"MULTIHOST_OK pid={a.process_id} loss={loss:.6f} popsum={pop_sum:.4f}",
+        f"MULTIHOST_OK pid={a.process_id} loss={loss:.6f} popsum={pop_sum:.4f}"
+        f" enssum={ens_sum:.4f}",
         flush=True,
     )
     jax.distributed.shutdown()
@@ -132,8 +187,8 @@ def launch_workers(
     local_devices: int = 4,
     port: int = 0,
     timeout: float = 1500.0,
-) -> List[Tuple[float, float]]:
-    """Spawn localhost worker processes; return [(loss, popsum), ...].
+) -> List[Tuple[float, float, float]]:
+    """Spawn localhost worker processes; return [(loss, popsum, enssum), ...].
 
     Raises on any worker failure, with both workers' output attached."""
     import socket
@@ -183,11 +238,13 @@ def launch_workers(
                 f"multihost worker failed (rc={rc}):\n{out}\n{err}"
             )
         m = re.search(
-            r"MULTIHOST_OK pid=\d+ loss=([-\d.einf]+) popsum=([-\d.einf]+)", out
+            r"MULTIHOST_OK pid=\d+ loss=([-\d.einf]+) popsum=([-\d.einf]+)"
+            r" enssum=([-\d.einf]+)",
+            out,
         )
         if not m:
             raise RuntimeError(f"worker produced no result line:\n{out}\n{err}")
-        results.append((float(m.group(1)), float(m.group(2))))
+        results.append((float(m.group(1)), float(m.group(2)), float(m.group(3))))
     return results
 
 

@@ -463,6 +463,7 @@ def packed_unet_stream_qs(
     t0: int = 8,
     t1: int = 16,
     dtype=None,
+    wbits: int = 8,
 ) -> jnp.ndarray:
     """One UNet stream END-TO-END in static int8 (inference only).
 
@@ -493,14 +494,17 @@ def packed_unet_stream_qs(
     x1 = fused_double_conv_qs(
         xq, *dc_args(p["inc"], bn["inc"], f0),
         s_x=s["in"], s_y1=s["inc_y1"], s_out=s["inc_out"], dtype=dtype,
+        wbits=wbits,
     )
     d1 = fused_double_conv_qs(
         pool_packed(x1, f0, t0), *dc_args(p["down1"], bn["down1"], f1),
-        s_x=s["inc_out"], s_y1=s["down1_y1"], s_out=s["down1_out"], dtype=dtype,
+        s_x=s["inc_out"], s_y1=s["down1_y1"], s_out=s["down1_out"],
+        dtype=dtype, wbits=wbits,
     )
     d2 = fused_double_conv_qs(
         pool_packed(d1, f1, t1), *dc_args(p["down2"], bn["down2"], f2),
-        s_x=s["down1_out"], s_y1=s["down2_y1"], s_out=s["down2_out"], dtype=dtype,
+        s_x=s["down1_out"], s_y1=s["down2_y1"], s_out=s["down2_out"],
+        dtype=dtype, wbits=wbits,
     )
 
     def up_args(pu, bu, f, c_skip):
@@ -521,11 +525,13 @@ def packed_unet_stream_qs(
         d2, d1, *up_args(p["up2"], bn["up2"], f1, t1),
         s_x1=s["down2_out"], s_x2=s["down1_out"],
         s_up=s["up2_up"], s_y1=s["up2_y1"], s_out=s["up2_out"], dtype=dtype,
+        wbits=wbits,
     )
     u1 = fused_up_block_qs(
         u2, x1, *up_args(p["up1"], bn["up1"], f0, t0),
         s_x1=s["up2_out"], s_x2=s["inc_out"],
         s_up=s["up1_up"], s_y1=s["up1_y1"], s_out=None, dtype=dtype,
+        wbits=wbits,
     )
     return u1  # float features, packed f0, 8ch
 

@@ -147,8 +147,17 @@ def quantize_static_int8(cfg: ModelConfig, train: bool = False) -> bool:
     block I/O end-to-end through each UNet stream, one fused requant pass
     per layer (nn/pallas_conv.py::_double_conv_kernel_qs). Coarser than
     the dynamic per-slab scales — opt-in, accuracy vs f32 validated in
-    tests/test_pallas_conv.py."""
-    return not train and getattr(cfg, "quantize", None) == "int8s"
+    tests/test_pallas_conv.py.
+
+    'w4a8' routes through the SAME kernels with int4-grid weights in
+    int8 carriers (nn/pallas_conv.py::_quantize_weight wbits=4): v5e's
+    MXU int mode is int8 x int8, so w4a8 cannot be faster here — it
+    exists to measure that trade (VERDICT r4 #4; PERF_NOTES round 5)."""
+    return not train and getattr(cfg, "quantize", None) in ("int8s", "w4a8")
+
+
+def weight_bits(cfg: ModelConfig) -> int:
+    return 4 if getattr(cfg, "quantize", None) == "w4a8" else 8
 
 
 def create_building_score(
@@ -434,13 +443,14 @@ def packed_member_maps(
     pk = use_pallas_stream(cfg)
     q = quantize_int8(cfg)
     if quantize_static_int8(cfg) and scales is not None and f == 4:
+        wb = weight_bits(cfg)
         sar_f = packed_unet_stream_qs(
             params["unet"]["sar"], consts["unet_bn"]["sar"], sar_p, f,
-            scales["sar"], dtype=dtype,
+            scales["sar"], dtype=dtype, wbits=wb,
         )
         opt_f = packed_unet_stream_qs(
             params["unet"]["opt"], consts["unet_bn"]["opt"], opt_p, f,
-            scales["opt"], dtype=dtype,
+            scales["opt"], dtype=dtype, wbits=wb,
         )
     else:
         sar_f = packed_unet_stream(

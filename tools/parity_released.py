@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def evaluate(checkpoints, data_root, region, train_level, fourseasons,
              patch_batch=1, paths=None, patchsize=2048, overlap=128,
-             spatial=False, quantize=None, transport="exact"):
+             spatial=False, quantize=None, transport="exact",
+             pallas_stream=None):
     from popcorn_tpu.cli.args import model_config_from_args
     from popcorn_tpu.config import DataPaths, EvalConfig
     from popcorn_tpu.infer.evaluator import Evaluator
@@ -47,7 +48,7 @@ def evaluate(checkpoints, data_root, region, train_level, fourseasons,
         occupancymodel=True, pretrained=False, biasinit=0.75,
         sentinelbuildings=True, buildinginput=False, segmentationinput=False,
         feature_extractor="DDA", compute_dtype="float32", fused_head=None,
-        quantize=quantize,
+        quantize=quantize, pallas_stream=pallas_stream,
     )
     mcfg = model_config_from_args(ns)
     ecfg = EvalConfig(
