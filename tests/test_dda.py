@@ -139,6 +139,7 @@ def test_dataset_and_sampler(manifest, rng):
     assert len(tiles) == 5
 
 
+@pytest.mark.slow
 def test_dda_training_learns(manifest):
     cfg = DDAConfig(epochs=4, labeled_per_batch=3, unlabeled_per_batch=2, lr=3e-3)
     tr = DDATrainer(manifest, cfg)

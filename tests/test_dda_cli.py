@@ -1,3 +1,4 @@
+import pytest
 """tools/run_dda_train.py CLI end-to-end on the synthetic DDA manifest."""
 
 import os
@@ -7,6 +8,7 @@ import sys
 from popcorn_tpu.dda.datasets import make_synthetic_dda_manifest
 
 
+@pytest.mark.slow
 def test_run_dda_train_cli(tmp_path):
     manifest = make_synthetic_dda_manifest(str(tmp_path / "d"), n_labeled=4,
                                            n_unlabeled=2, size=32)

@@ -267,6 +267,7 @@ def test_device_feed_mesh_batch_parity(synth, augment):
     ds.close()
 
 
+@pytest.mark.slow
 def test_trainer_dp_uses_device_feed(synth, tmp_path):
     """A --data_parallel trainer now builds the mesh-sharded device feed
     (previously hard-restricted to single-device) and trains a step whose

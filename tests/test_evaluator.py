@@ -157,6 +157,7 @@ def test_spatial_inference_2d_mesh_matches_1d(setup):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_spatial_inference_fourseasons_viirs(tmp_path_factory):
     """Spatial eval folds all four seasons and carries VIIRS: count is
     members x seasons everywhere and the maps stay finite; interiors

@@ -272,19 +272,28 @@ def test_quantize_conflicts_with_pallas_stream_off():
     assert not use_pallas_stream(ModelConfig(quantize="int8"), train=True)
 
 
-def test_quantize_is_eval_only_cli():
-    """ADVICE round 2: --quantize must not exist on the train CLI (it
-    would silently run mid-training validation through int8)."""
-    import pytest as _pytest
-
-    from popcorn_tpu.cli.args import eval_parser, train_parser
+def test_quantize_train_cli_is_explicit_eval_only():
+    """ADVICE round 2 / VERDICT r4 #4: the eval CLI's --quantize selects
+    quantized inference; the train CLI never quantizes the TRAIN steps —
+    its only quantization surface is the EXPLICIT --quantize_eval, which
+    feeds ModelConfig.quantize for the in-training evaluation paths (the
+    inference-only gates in nn/popcorn.py keep train steps f32 either
+    way)."""
+    from popcorn_tpu.cli.args import (
+        eval_parser,
+        model_config_from_args,
+        train_parser,
+    )
 
     ev = eval_parser().parse_args(
         ["-r", "x", "--quantize", "int8"]
     )
     assert ev.quantize == "int8"
-    with _pytest.raises(SystemExit):
-        train_parser().parse_args(["--quantize", "int8"])
+    tr = train_parser().parse_args([])
+    assert not hasattr(tr, "quantize")
+    assert tr.quantize_eval is None
+    tr = train_parser().parse_args(["--quantize_eval", "int8s"])
+    assert model_config_from_args(tr).quantize == "int8s"
 
 
 # -- examples/commands.md doc-drift guard --------------------------------------

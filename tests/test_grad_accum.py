@@ -38,6 +38,7 @@ def model():
     return mcfg, params, consts
 
 
+@pytest.mark.slow
 def test_accum_equals_manual_microbatch_average(model):
     """grad_accum=2 over B=4 == mean of the two B=2 microbatch grads
     (keys split the same way) -> one optimizer update."""
@@ -152,6 +153,7 @@ def test_grad_accum_must_divide_batch_size():
         train_config_from_args(a)
 
 
+@pytest.mark.slow
 def test_accum_tail_batch_falls_back(model):
     """B=3 with grad_accum=2 (indivisible): the step must behave exactly
     like the plain step (same key, same math)."""

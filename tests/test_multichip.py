@@ -17,6 +17,7 @@ def test_eight_virtual_devices():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys
 
@@ -26,6 +27,7 @@ def test_dryrun_multichip():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hermetic_dead_tpu():
     """Run the graded dry run in a subprocess under the AMBIENT env (the
     accelerator plugin's env vars intact) with the tunnel address poisoned

@@ -29,10 +29,14 @@ def test_two_process_multihost_matches_single_process():
 
     results = launch_workers(num_processes=2, local_devices=4)
     assert len(results) == 2
-    (l0, p0), (l1, p1) = results
+    (l0, p0, e0), (l1, p1, e1) = results
     # both processes see the same (replicated) loss ...
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     np.testing.assert_allclose(p0, p1, rtol=1e-6)
+    # ... the 2-D (data x ensemble) eval fold agrees across the process
+    # boundary (VERDICT r4 #6) ...
+    assert np.isfinite(e0)
+    np.testing.assert_allclose(e0, e1, rtol=1e-6)
     # ... and the 2x4 hybrid mesh computes the same step as 1x8 (the
     # hierarchical psum may re-associate the 8-way sum: small tolerance)
     np.testing.assert_allclose(l0, ref_loss, rtol=1e-4)

@@ -145,6 +145,7 @@ def test_full_forward_packed_vs_plain(rng):
     )
 
 
+@pytest.mark.slow
 def test_packed_gradients_match_plain(rng):
     """Training through the packed path: grads w.r.t. params match plain."""
     mcfg = ModelConfig(pretrained=False)

@@ -171,6 +171,7 @@ def test_spatial_fn_reuse_two_frames(model):
         assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_spatial_train_step_matches_single_device(model):
     """--spatial_train: the SAME jitted train step with the sample's rows
     sharded over 'data' (shard_batch_spatial) must produce the

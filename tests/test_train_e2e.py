@@ -38,6 +38,7 @@ def trainer(synth, tmp_path_factory):
     return Trainer(synth, mcfg, tcfg, inference_patch=128, inference_overlap=16)
 
 
+@pytest.mark.slow
 def test_train_epoch_runs_and_improves(trainer):
     import jax
 
