@@ -41,6 +41,7 @@ def _make_fake_pth(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_pth_roundtrip_forward(tmp_path, rng):
     path = _make_fake_pth(tmp_path)
     params, consts = load_popcorn_checkpoint(path)

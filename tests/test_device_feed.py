@@ -62,6 +62,7 @@ def test_device_feed_matches_host_feed(setup):
     ds.close()
 
 
+@pytest.mark.slow
 def test_device_feed_return_device(setup):
     paths, mcfg, members, consts = setup
     ds = _dataset(paths)
@@ -77,6 +78,7 @@ def test_device_feed_return_device(setup):
     ds.close()
 
 
+@pytest.mark.slow
 def test_device_feed_nan_season_falls_back(setup, tmp_path):
     """A season whose S1 mosaic contains NaNs takes the host feed's healing
     path (PopulationDataset.py:418-441); other seasons stay on device. The

@@ -134,6 +134,7 @@ def test_evaluator_end_to_end_spatial(setup):
         assert os.path.exists(os.path.join(f, f"rwa_predictions{tag}.tif")), tag
 
 
+@pytest.mark.slow
 def test_spatial_inference_2d_mesh_matches_1d(setup):
     """run_spatial_inference on the 2-D (data=2, ensemble=4) mesh — members
     vmapped with the member axis sharded over 'ensemble', rows over 'data'

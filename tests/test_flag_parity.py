@@ -74,6 +74,7 @@ def test_viirs_flows_to_model_input(synth):
     ds.close()
 
 
+@pytest.mark.slow
 def test_viirs_train_step(synth, tmp_path_factory):
     mcfg = ModelConfig(pretrained=False, viirs=True)
     tcfg = TrainConfig(
@@ -121,6 +122,7 @@ def test_sinp_segmentation_policy(synth):
     ds.close()
 
 
+@pytest.mark.slow
 def test_binp_train_and_eval_end_to_end(synth, tmp_path_factory):
     """Train + sliding eval with pre-rasterised buildings and NO on-the-fly
     building score — the wiring that crashed with KeyError in round 1
@@ -169,6 +171,7 @@ def test_missing_counts_clear_error(synth):
 # -- --skip-first / -ms / --save-model best ------------------------------------
 
 
+@pytest.mark.slow
 def test_skip_first_epoch_does_not_update(synth, tmp_path_factory):
     mcfg = ModelConfig(pretrained=False)
     tcfg = TrainConfig(

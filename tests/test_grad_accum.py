@@ -88,6 +88,7 @@ def test_accum_equals_manual_microbatch_average(model):
                                    rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_accum_popcount_order_and_scalars(model):
     """aux['popcount'] restacks to input order: each sample's popcount is
     a per-sample function of the forward (sparse==dense parity), so it

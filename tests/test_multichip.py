@@ -171,6 +171,7 @@ def test_sharded_inference_matches_single_device(tmp_path):
     ds.close()
 
 
+@pytest.mark.slow
 def test_ensemble_sharded_inference_matches_scan_fold(tmp_path):
     """Bag-of-POPCORN members sharded over the mesh's 'ensemble' axis
     (VERDICT round 1, item #6). On an ensemble-only (1,4) mesh the

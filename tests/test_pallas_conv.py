@@ -77,6 +77,7 @@ def test_pallas_stream_matches_xla_stream(rngk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_popcorn_forward_pallas_stream_matches(rngk):
     """popcorn_forward with cfg.pallas_stream=True == the XLA packed path
     (exercises the builder score + both streams + the Pallas packed head
@@ -133,6 +134,7 @@ def test_int8_double_conv_close_to_f32(rngk):
     assert corr > 0.999, corr
 
 
+@pytest.mark.slow
 def test_int8_popcorn_forward_close(rngk):
     """End-to-end popcorn_forward with cfg.quantize='int8': population
     maps correlate >0.99 with the f32 path and popcount within ~2%."""

@@ -100,6 +100,7 @@ def test_full_forward_occupancy_senbuilds(ref_model, shared, rng):
     _assert_close(ours["popcount"], ref["popcount"].numpy(), "popcount")
 
 
+@pytest.mark.slow
 def test_full_forward_with_admin_mask(ref_model, shared, rng):
     params, consts = shared
     b, h, w = 2, 64, 96
@@ -160,6 +161,7 @@ def test_full_forward_counts_given(rng, shared):
     _assert_close(ours["popcount"], ref["popcount"].numpy(), "popcount")
 
 
+@pytest.mark.slow
 def test_padding_false_odd_shape(ref_model, shared, rng):
     """padding=False pads H/W to multiples of 64 then reverts
     (popcorn.py:246-276); 70x90 exercises both axes."""
@@ -203,6 +205,7 @@ def test_modality_branches(rng, in_ch, s1, s2, nir):
     _assert_close(ours["popcount"], ref["popcount"].numpy(), "popcount")
 
 
+@pytest.mark.slow
 def test_no_occupancy(rng):
     """occupancymodel=False: popdensemap = relu(head out) directly."""
     ref_model = load_reference_popcorn(

@@ -70,6 +70,7 @@ def test_spatial_density_matches_single_device(model):
     np.testing.assert_allclose(cnt, ref_map.sum(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_density_padded_frame(model):
     """Rows not divisible by 4*n_data: pad-with-edge then crop. The padded
     band influences the true rows only through the UNet's receptive field

@@ -90,6 +90,7 @@ def test_wide_stream_matches_plain(rng, cin):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_wide_stream_encoder_stop_grad(rng):
     """stop-grad parity: grads through the wide stream must vanish on the
     encoder blocks exactly as in the plain stream."""
@@ -176,6 +177,7 @@ def test_choose_wide_gate():
     assert not W.choose_wide(16, 48)  # W % 32
 
 
+@pytest.mark.slow
 def test_popcorn_forward_wide_matches_packed(rng):
     """popcorn_forward must produce the same maps through layout='wide'
     and layout='packed' (summation-order tolerance)."""
