@@ -86,9 +86,11 @@ def build_cache(
             mm.flush()
         finally:
             del mm
+    os.replace(tmp, out)
+    # meta last: a crash before this point leaves no meta, so a stale
+    # pre-existing sidecar can never validate against a fresher source stat
     with open(_meta_path(src_path), "w") as f:
         json.dump(_src_meta(src_path), f)
-    os.replace(tmp, out)
     return out
 
 
