@@ -5,11 +5,13 @@ Multi-chip sharding paths are validated without TPUs via
 must be set before the first ``import jax`` anywhere in the test session.
 
 Wall-clock contract (VERDICT r4 #7): ``pytest tests/ -q -m "not slow"``
-is the quick gate — ~5 min warm on a 1-core host (measured 4m55s; the
-cost is real jitted CPU execution over the 8-device mesh, not compiles —
-those hit the persistent cache below). The ``slow``-marked tests are
-heavier e2e/duplicate-coverage variants (multi-minute traces or full
-epochs); every feature they cover keeps at least one fast representative.
+is the quick gate — measured 4m55s-6m20s warm across sessions on this
+1-core host (box-load-dependent; the cost is ~245 tests' tracing and
+real jitted CPU execution over the 8-device mesh, not compiles — those
+hit the persistent cache below). The ``slow``-marked tests are heavier
+e2e/duplicate-coverage variants (multi-minute traces or full epochs);
+every feature they cover keeps at least one fast representative. For
+sub-minute iteration target a file (``pytest tests/test_foo.py -q``).
 Run the FULL suite (``pytest tests/ -q``, ~25 min) before a release.
 """
 

@@ -84,8 +84,11 @@ def test_evaluator_loads_pth(tmp_path):
     assert consts is not None and "builder" in consts
 
 
+@pytest.mark.slow
 def test_single_dispatch_matches_split(tmp_path, rng):
-    """make_patch_forward(single_dispatch=True) == the split prep/members."""
+    """make_patch_forward(single_dispatch=True) == the split prep/members.
+    (slow tier: both dispatch modes run e2e in test_device_feed /
+    test_evaluator; this pins their numerical identity directly.)"""
     from popcorn_tpu.config import ModelConfig
     from popcorn_tpu.data.normalize import NormStats
     from popcorn_tpu.infer.sliding import make_patch_forward, stack_ensemble

@@ -106,7 +106,12 @@ def test_wide_stream_encoder_stop_grad(rng):
     assert float(jnp.abs(g["up1"]["conv"]["conv1"]["w"]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_wide_dual_features_and_builder(rng):
+    # quick-gate representatives: the per-op wconv/wpool/wtconv/stream
+    # equivalences above; the full wide forward is pinned by the slow
+    # test_popcorn_forward_wide_matches_packed and exercised e2e by the
+    # spatial-layout tests (test_spatial.py)
     key = jax.random.PRNGKey(3)
     p = init_dual_stream(key)
     bn = init_dual_stream_bn()
@@ -219,8 +224,11 @@ def test_popcorn_forward_wide_matches_packed(rng):
     assert select_engine(dataclasses.replace(mcfg, layout="plain"), 2048, 2048) == "plain"
 
 
+@pytest.mark.slow
 def test_wide_member_maps_matches_forward(rng):
-    """wide_member_maps (the fold body) == popcorn_forward eval semantics."""
+    """wide_member_maps (the fold body) == popcorn_forward eval semantics.
+    (slow tier: the fold body is exercised per-op by the fast tests above
+    and e2e by the spatial eval tests, which run wide member maps.)"""
     from popcorn_tpu.config import ModelConfig
     from popcorn_tpu.nn.popcorn import (
         popcorn_forward,
