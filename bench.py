@@ -173,6 +173,13 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
     if os.environ.get("POPCORN_BENCH_HOSTFEED", "0") == "1":
         modes.append("host_feed")
     for mode in modes:
+        # the sidecars persist next to the mosaics across bench runs: force
+        # every non-cached stage COLD so "device_feed" keeps measuring the
+        # tile-decode data plane on reruns (the env gate is consulted at
+        # dataset construction, io/raster_cache.enabled)
+        os.environ["POPCORN_RASTER_CACHE"] = (
+            "1" if mode == "cached_feed" else "0"
+        )
         if mode == "cached_feed":
             from popcorn_tpu.config import SEASONS
             from popcorn_tpu.io.raster_cache import build_cache, open_cache
@@ -277,6 +284,9 @@ def full_pipeline_bench(members, consts, mcfg, device_pps, size, link, deadline)
             out["census_agg_s"] = round(t_census, 2)
             out["geotiff_write_s"] = round(t_write, 2)
         ds.close()
+    # later stages (spatial, train_e2e) run with the sidecars available,
+    # like an operator who has built the cache
+    os.environ["POPCORN_RASTER_CACHE"] = "1"
 
     # Whole-region spatially-partitioned eval (run_eval --spatial,
     # infer/spatial.py): seasons upload once, every member runs the whole
